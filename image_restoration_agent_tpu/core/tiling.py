@@ -1,0 +1,181 @@
+"""Static-shape tiled sliding-window inference with overlap blending.
+
+This is the TPU-native rebuild of the reference's per-tile host loop
+(AgentApp/model_service/denoising/SwinIR/model_serving.py:148-166 and
+motion_deblurring/Restormer/model_serving.py:177-196): the reference runs one
+CUDA launch per tile from Python and accumulates E/W blend buffers on device
+with host-side loop control. Here the whole pipeline — tile gather, batched
+forward, overlap blend, crop — is one traced XLA program:
+
+- the tile grid is planned at trace time from static shapes (same stride
+  arithmetic as the reference: ``range(0, size - tile, stride) + [size-tile]``),
+- tiles are gathered into one ``(N, tile, tile, C)`` batch so the model runs
+  large batched matmuls on the MXU instead of N tiny launches,
+- the weight (count) canvas W is a compile-time constant (all tiles contribute
+  uniform weight 1, offsets are static), so only E is accumulated on device,
+- blending is a `lax.scan` of dynamic-slice adds that XLA keeps in-place.
+
+Tile batches can additionally be sharded across chips over ICI — see
+``parallel/tile_parallel.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pad import pad_to_multiple
+
+
+@dataclasses.dataclass(frozen=True)
+class TilePlan:
+    """A static tile decomposition of an ``(H, W)`` canvas."""
+
+    height: int
+    width: int
+    tile: int
+    overlap: int
+    h_starts: tuple[int, ...]
+    w_starts: tuple[int, ...]
+
+    @property
+    def num_tiles(self) -> int:
+        return len(self.h_starts) * len(self.w_starts)
+
+    @property
+    def offsets(self) -> np.ndarray:
+        """(N, 2) array of (row, col) tile origins, row-major like the reference."""
+        return np.array(
+            [(h, w) for h in self.h_starts for w in self.w_starts], dtype=np.int32
+        )
+
+
+def plan_tiles(height: int, width: int, tile: int, overlap: int = 32) -> TilePlan:
+    """Plan a tile grid exactly like the reference serving loop.
+
+    ``tile`` is clamped to the canvas, stride = tile - overlap, and the last
+    tile is snapped to the bottom/right edge (reference SwinIR
+    model_serving.py:150-153).
+    """
+    tile = min(tile, height, width)
+    if overlap >= tile:
+        raise ValueError(f"overlap {overlap} must be < tile {tile}")
+    stride = tile - overlap
+    h_starts = tuple(range(0, height - tile, stride)) + (height - tile,)
+    w_starts = tuple(range(0, width - tile, stride)) + (width - tile,)
+    return TilePlan(height, width, tile, overlap, h_starts, w_starts)
+
+
+def extract_tiles(img: jnp.ndarray, plan: TilePlan) -> jnp.ndarray:
+    """Gather all tiles of an ``(H, W, C)`` image into ``(N, tile, tile, C)``."""
+    t = plan.tile
+    offsets = jnp.asarray(plan.offsets)
+
+    def gather(off):
+        return jax.lax.dynamic_slice(img, (off[0], off[1], 0), (t, t, img.shape[-1]))
+
+    return jax.vmap(gather)(offsets)
+
+
+def _weight_canvas(plan: TilePlan, scale: int, n_valid: int | None = None) -> np.ndarray:
+    """Compile-time constant overlap-count canvas (the reference's W buffer)."""
+    t, s = plan.tile, scale
+    w = np.zeros((plan.height * s, plan.width * s, 1), dtype=np.float32)
+    for i, (oh, ow) in enumerate(plan.offsets):
+        if n_valid is not None and i >= n_valid:
+            break
+        w[oh * s : (oh + t) * s, ow * s : (ow + t) * s] += 1.0
+    return w
+
+
+def blend_tiles(
+    tiles: jnp.ndarray, plan: TilePlan, scale: int = 1
+) -> jnp.ndarray:
+    """Overlap-blend ``(N, t*s, t*s, C)`` tile outputs onto the full canvas.
+
+    Implements the reference E/W accumulate-then-divide
+    (model_serving.py:154-166) with W folded into a constant.
+    """
+    n, ts = tiles.shape[0], tiles.shape[1]
+    c = tiles.shape[-1]
+    offsets = jnp.asarray(plan.offsets[:n] * scale)
+    canvas = jnp.zeros((plan.height * scale, plan.width * scale, c), tiles.dtype)
+
+    def body(e, inp):
+        patch, off = inp
+        cur = jax.lax.dynamic_slice(e, (off[0], off[1], 0), (ts, ts, c))
+        e = jax.lax.dynamic_update_slice(e, cur + patch, (off[0], off[1], 0))
+        return e, None
+
+    canvas, _ = jax.lax.scan(body, canvas, (tiles, offsets))
+    weight = jnp.asarray(_weight_canvas(plan, scale, n_valid=n))
+    return canvas / weight
+
+
+def _batched_apply(
+    fn: Callable[[jnp.ndarray], jnp.ndarray],
+    tiles: jnp.ndarray,
+    batch: int,
+    scale: int,
+) -> jnp.ndarray:
+    """Run ``fn`` over tiles in fixed-size batches (static shapes, no recompiles).
+
+    The tile count is padded up to a multiple of ``batch``; padded outputs are
+    dropped before blending.
+    """
+    n, t, _, c = tiles.shape
+    if batch >= n:
+        return fn(tiles)
+    n_pad = (-n) % batch
+    if n_pad:
+        tiles = jnp.concatenate([tiles, tiles[:n_pad]], axis=0)
+    chunks = tiles.reshape(-1, batch, t, t, c)
+    out_chunks = jax.lax.map(fn, chunks)
+    out = out_chunks.reshape(-1, t * scale, t * scale, out_chunks.shape[-1])
+    return out[:n]
+
+
+def tiled_apply(
+    fn: Callable[[jnp.ndarray], jnp.ndarray],
+    img: jnp.ndarray,
+    tile: int | None,
+    overlap: int = 32,
+    scale: int = 1,
+    batch: int = 8,
+    pad_multiple: int = 1,
+    pad_mode: str = "ceil",
+    pad_kind: str = "symmetric",
+) -> jnp.ndarray:
+    """Fused pad -> tile -> batched forward -> blend -> crop on one image.
+
+    Args:
+        fn: batched model forward mapping ``(B, t, t, C) -> (B, t*s, t*s, C')``.
+        img: ``(H, W, C)`` float image.
+        tile: tile size, or None for whole-image forward (reference
+            ``tile is None`` branch).
+        overlap: tile overlap in input pixels (reference default 32).
+        scale: model output scale factor (4 for SR, 1 otherwise).
+        batch: tiles per model invocation.
+        pad_multiple: pad H/W to this multiple before tiling (window size for
+            SwinIR, 8 for Restormer, ...).
+        pad_mode: "ceil" | "extra" (see :func:`core.pad.pad_to_multiple`).
+        pad_kind: numpy pad mode for the border pixels.
+
+    Returns:
+        ``(H*scale, W*scale, C')`` restored image.
+    """
+    padded, (h0, w0) = pad_to_multiple(img, max(pad_multiple, 1), pad_mode, pad_kind)
+    h, w = padded.shape[-3], padded.shape[-2]
+
+    if tile is None or (tile >= h and tile >= w):
+        out = fn(padded[None])[0]
+    else:
+        plan = plan_tiles(h, w, tile, overlap)
+        tiles = extract_tiles(padded, plan)
+        outs = _batched_apply(fn, tiles, batch, scale)
+        out = blend_tiles(outs, plan, scale)
+    return out[: h0 * scale, : w0 * scale, :]

@@ -1,0 +1,8 @@
+from .registry import MODEL_REGISTRY, register_model, build_model, list_models
+
+# Import model modules for their registration side effects.
+from . import nafnet as _nafnet          # noqa: F401
+from . import restormer as _restormer    # noqa: F401
+from . import swinir as _swinir          # noqa: F401
+
+__all__ = ["MODEL_REGISTRY", "register_model", "build_model", "list_models"]

@@ -1,0 +1,50 @@
+"""Model registry: name -> (constructor, default config, metadata).
+
+Replaces the reference's port-number registry
+(AgentApp/model_service/model_services.yaml) with in-process constructors.
+Each entry records the serving contract the engine needs: output scale,
+pad multiple / mode, and default tile parameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    name: str
+    build: Callable[..., Any]           # returns a flax Module
+    subtasks: tuple[str, ...]           # which agent subtasks this serves
+    scale: int = 1                      # output spatial scale
+    pad_multiple: int = 8               # pad H/W to this before forward
+    pad_mode: str = "ceil"              # "ceil" | "extra" (SwinIR windows)
+    pad_kind: str = "reflect"           # border fill
+    tile: int | None = None             # default tile size (None = whole image)
+    tile_overlap: int = 32
+    config: dict = dataclasses.field(default_factory=dict)
+
+
+MODEL_REGISTRY: dict[str, ModelSpec] = {}
+
+
+def register_model(spec: ModelSpec) -> ModelSpec:
+    if spec.name in MODEL_REGISTRY:
+        raise ValueError(f"duplicate model name: {spec.name}")
+    MODEL_REGISTRY[spec.name] = spec
+    return spec
+
+
+def build_model(name: str, **overrides):
+    spec = MODEL_REGISTRY[name]
+    cfg = {**spec.config, **overrides}
+    return spec.build(**cfg)
+
+
+def list_models() -> list[str]:
+    return sorted(MODEL_REGISTRY)
+
+
+def get_spec(name: str) -> ModelSpec:
+    return MODEL_REGISTRY[name]

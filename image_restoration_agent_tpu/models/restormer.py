@@ -1,0 +1,164 @@
+"""Restormer in Flax/NHWC (rebuild of Restormer/basicsr/models/archs/restormer_arch.py).
+
+4-level U-shape of TransformerBlocks: MDTA transposed channel attention
+(ops/mdta.py) + gated-dconv FFN with exact GELU (ops/gates.py), pixel-
+unshuffle downs / pixel-shuffle ups, refinement stage, global residual.
+
+TPU notes: MDTA's big contractions are (C_h, HW) x (HW, C_h) matmuls over the
+flattened spatial axis — MXU-bound with fp32 accumulation; everything else is
+1x1/depthwise convs that XLA fuses.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.gates import gated_gelu
+from ..ops.mdta import mdta_attention
+from ..ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
+from .common import Conv, DWConv, RestormerLayerNorm
+from .registry import ModelSpec, register_model
+
+
+class MDTABlock(nn.Module):
+    num_heads: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        qkv = Conv(c * 3, kernel=1, use_bias=self.use_bias, name="qkv")(x)
+        qkv = DWConv(kernel=3, use_bias=self.use_bias, name="qkv_dwconv")(qkv)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        temp = self.param("temperature", nn.initializers.ones, (self.num_heads,))
+        out = mdta_attention(q, k, v, temp, self.num_heads)
+        return Conv(c, kernel=1, use_bias=self.use_bias, name="project_out")(out)
+
+
+class GDFN(nn.Module):
+    expansion: float = 2.66
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        hidden = int(c * self.expansion)
+        y = Conv(hidden * 2, kernel=1, use_bias=self.use_bias, name="project_in")(x)
+        y = DWConv(kernel=3, use_bias=self.use_bias, name="dwconv")(y)
+        y = gated_gelu(y)
+        return Conv(c, kernel=1, use_bias=self.use_bias, name="project_out")(y)
+
+
+class TransformerBlock(nn.Module):
+    num_heads: int
+    expansion: float = 2.66
+    use_bias: bool = False
+    bias_free_ln: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        y = RestormerLayerNorm(bias_free=self.bias_free_ln, name="norm1")(x)
+        x = x + MDTABlock(self.num_heads, self.use_bias, name="attn")(y)
+        y = RestormerLayerNorm(bias_free=self.bias_free_ln, name="norm2")(x)
+        return x + GDFN(self.expansion, self.use_bias, name="ffn")(y)
+
+
+class Downsample(nn.Module):
+    """conv 3x3 C -> C/2, then pixel-unshuffle(2): C -> 2C at half res."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        y = Conv(c // 2, kernel=3, use_bias=False, name="conv")(x)
+        return pixel_unshuffle(y, 2)
+
+
+class Upsample(nn.Module):
+    """conv 3x3 C -> 2C, then pixel-shuffle(2): C -> C/2 at double res."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        y = Conv(c * 2, kernel=3, use_bias=False, name="conv")(x)
+        return pixel_shuffle(y, 2)
+
+
+class Restormer(nn.Module):
+    inp_channels: int = 3
+    out_channels: int = 3
+    dim: int = 48
+    num_blocks: Sequence[int] = (4, 6, 6, 8)
+    num_refinement_blocks: int = 4
+    heads: Sequence[int] = (1, 2, 4, 8)
+    ffn_expansion_factor: float = 2.66
+    use_bias: bool = False
+    bias_free_ln: bool = False  # LayerNorm_type == "BiasFree"
+    dual_pixel_task: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dim
+
+        def stage(y, level, count, name):
+            for i in range(count):
+                y = TransformerBlock(
+                    self.heads[level], self.ffn_expansion_factor,
+                    self.use_bias, self.bias_free_ln,
+                    name=f"{name}{i}")(y)
+            return y
+
+        e1_in = Conv(d, kernel=3, use_bias=self.use_bias, name="patch_embed")(x)
+        e1 = stage(e1_in, 0, self.num_blocks[0], "encoder_level1_")
+        e2 = stage(Downsample(name="down1_2")(e1), 1, self.num_blocks[1],
+                   "encoder_level2_")
+        e3 = stage(Downsample(name="down2_3")(e2), 2, self.num_blocks[2],
+                   "encoder_level3_")
+        latent = stage(Downsample(name="down3_4")(e3), 3, self.num_blocks[3],
+                       "latent_")
+
+        y = Upsample(name="up4_3")(latent)
+        y = jnp.concatenate([y, e3], axis=-1)
+        y = Conv(d * 4, kernel=1, use_bias=self.use_bias, name="reduce_chan_level3")(y)
+        y = stage(y, 2, self.num_blocks[2], "decoder_level3_")
+
+        y = Upsample(name="up3_2")(y)
+        y = jnp.concatenate([y, e2], axis=-1)
+        y = Conv(d * 2, kernel=1, use_bias=self.use_bias, name="reduce_chan_level2")(y)
+        y = stage(y, 1, self.num_blocks[1], "decoder_level2_")
+
+        y = Upsample(name="up2_1")(y)
+        y = jnp.concatenate([y, e1], axis=-1)  # stays at 2*dim (no reduce)
+        y = stage(y, 0, self.num_blocks[0], "decoder_level1_")
+        y = stage(y, 0, self.num_refinement_blocks, "refinement_")
+
+        if self.dual_pixel_task:
+            y = y + Conv(d * 2, kernel=1, use_bias=self.use_bias, name="skip_conv")(e1_in)
+            return Conv(self.out_channels, kernel=3, use_bias=self.use_bias,
+                        name="output")(y)
+        return Conv(self.out_channels, kernel=3, use_bias=self.use_bias,
+                    name="output")(y) + x
+
+
+register_model(ModelSpec(
+    name="restormer",
+    build=lambda **kw: Restormer(**kw),
+    subtasks=("denoising", "motion deblurring", "defocus deblurring", "deraining"),
+    pad_multiple=8,
+    pad_kind="reflect",
+    tile=256, tile_overlap=32,
+    config=dict(),
+))
+
+register_model(ModelSpec(
+    name="restormer_tiny",  # CPU-testable configuration
+    build=lambda **kw: Restormer(**kw),
+    subtasks=("denoising",),
+    pad_multiple=8,
+    pad_kind="reflect",
+    tile=None,
+    config=dict(dim=8, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1,
+                heads=(1, 1, 2, 2), ffn_expansion_factor=2.0),
+))

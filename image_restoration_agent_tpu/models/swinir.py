@@ -1,0 +1,226 @@
+"""SwinIR in Flax/NHWC (rebuild of SwinIR/models/network_swinir.py).
+
+Structure: conv_first -> [RSTB x D] (each: [SwinTransformerBlock x d] + conv +
+residual) -> conv_after_body + residual -> task head (pixel-shuffle upsample
+for SR, plain conv for denoise/JPEG). Window attention with relative position
+bias and alternating shifted windows.
+
+TPU-first design notes:
+- tensors stay (B, H, W, C); window partition/reverse are reshapes XLA folds
+  away (the reference round-trips (B, HW, C) <-> (B, C, H, W) every block),
+- shifted-window masks are trace-time numpy constants (the reference computes
+  them on-device per forward for non-train sizes),
+- attention runs as (B*nW, heads, N, N) batched matmuls on the MXU with fp32
+  accumulation; N = window_size^2 = 64 keeps logits tiny and VMEM-resident.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pixel_shuffle import pixel_shuffle
+from ..ops.window_attention import (
+    shift_attention_mask,
+    window_attention,
+    window_partition,
+    window_reverse,
+)
+from .common import Conv
+from .registry import ModelSpec, register_model
+
+RGB_MEAN = (0.4488, 0.4371, 0.4040)  # DIV2K mean (network_swinir.py:716)
+
+
+class WindowAttentionLayer(nn.Module):
+    dim: int
+    window_size: int
+    num_heads: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, xw, mask):
+        # xw: (nWB, N, C)
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window_size - 1) ** 2, self.num_heads),
+        )
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv")(xw)
+        out = window_attention(qkv, self.num_heads, table, self.window_size, mask)
+        return nn.Dense(self.dim, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    shift_size: int
+    mlp_ratio: float = 2.0
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        ws = self.window_size
+        # If the (padded) feature map is not larger than one window, no shift
+        # (reference SwinTransformerBlock.__init__:205-208).
+        shift = 0 if min(h, w) <= ws else self.shift_size
+
+        shortcut = x
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        if shift > 0:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+        mask_np = shift_attention_mask(h, w, ws, shift)
+        mask = None if mask_np is None else jnp.asarray(mask_np)
+        yw = window_partition(y, ws).reshape(-1, ws * ws, c)
+        yw = WindowAttentionLayer(self.dim, ws, self.num_heads, name="attn")(yw, mask)
+        y = window_reverse(yw.reshape(-1, ws, ws, c), ws, h, w)
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        x = shortcut + y
+
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        hidden = int(self.dim * self.mlp_ratio)
+        y = nn.Dense(hidden, name="fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, name="fc2")(y)
+        return x + y
+
+
+class RSTB(nn.Module):
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float = 2.0
+
+    @nn.compact
+    def __call__(self, x):
+        res = x
+        for i in range(self.depth):
+            x = SwinBlock(
+                self.dim, self.num_heads, self.window_size,
+                shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                mlp_ratio=self.mlp_ratio, name=f"block{i}")(x)
+        x = Conv(self.dim, kernel=3, name="conv")(x)
+        return x + res
+
+
+class SwinIR(nn.Module):
+    """Args mirror the reference constructor (network_swinir.py:618-705)."""
+
+    img_channels: int = 3
+    embed_dim: int = 96
+    depths: Sequence[int] = (6, 6, 6, 6)
+    num_heads: Sequence[int] = (6, 6, 6, 6)
+    window_size: int = 8
+    mlp_ratio: float = 2.0
+    upscale: int = 1
+    img_range: float = 1.0
+    upsampler: str = ""          # "pixelshuffle" | "pixelshuffledirect" | ""
+    patch_norm: bool = True
+    num_feat: int = 64           # head width for the pixelshuffle upsampler
+
+    @nn.compact
+    def __call__(self, x):
+        mean = jnp.asarray(RGB_MEAN).reshape(1, 1, 1, 3)
+        if self.img_channels == 3:
+            x = (x - mean) * self.img_range
+
+        feat = Conv(self.embed_dim, kernel=3, name="conv_first")(x)
+
+        y = feat
+        if self.patch_norm:
+            y = nn.LayerNorm(epsilon=1e-5, name="patch_embed_norm")(y)
+        for i, (d, h) in enumerate(zip(self.depths, self.num_heads)):
+            y = RSTB(self.embed_dim, d, h, self.window_size,
+                     self.mlp_ratio, name=f"layer{i}")(y)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm")(y)
+        y = Conv(self.embed_dim, kernel=3, name="conv_after_body")(y) + feat
+
+        if self.upsampler == "pixelshuffle":
+            y = Conv(self.num_feat, kernel=3, name="conv_before_upsample")(y)
+            y = nn.leaky_relu(y, negative_slope=0.01)
+            s = self.upscale
+            stage = 0
+            while s > 1:
+                r = 3 if s % 3 == 0 else 2
+                y = Conv(self.num_feat * r * r, kernel=3, name=f"upsample{stage}")(y)
+                y = pixel_shuffle(y, r)
+                s //= r
+                stage += 1
+            y = Conv(self.img_channels, kernel=3, name="conv_last")(y)
+        elif self.upsampler == "pixelshuffledirect":
+            y = Conv(self.img_channels * self.upscale ** 2, kernel=3,
+                     name="upsample_direct")(y)
+            y = pixel_shuffle(y, self.upscale)
+        else:  # denoising / JPEG artifact removal: global residual
+            y = Conv(self.img_channels, kernel=3, name="conv_last")(y) + x
+
+        if self.img_channels == 3:
+            y = y / self.img_range + mean
+        return y
+
+
+# Classical 4x SR ("SwinIR-M": embed 180, six 6-deep RSTBs, window 8).
+register_model(ModelSpec(
+    name="swinir_sr_x4",
+    build=lambda **kw: SwinIR(**kw),
+    subtasks=("super-resolution",),
+    scale=4,
+    pad_multiple=8, pad_mode="extra", pad_kind="symmetric",
+    tile=256, tile_overlap=32,
+    config=dict(embed_dim=180, depths=(6,) * 6, num_heads=(6,) * 6,
+                window_size=8, upscale=4, upsampler="pixelshuffle"),
+))
+
+# Lightweight 4x SR.
+register_model(ModelSpec(
+    name="swinir_lightweight_sr_x4",
+    build=lambda **kw: SwinIR(**kw),
+    subtasks=("super-resolution",),
+    scale=4,
+    pad_multiple=8, pad_mode="extra", pad_kind="symmetric",
+    tile=256, tile_overlap=32,
+    config=dict(embed_dim=60, depths=(6,) * 4, num_heads=(6,) * 4,
+                window_size=8, upscale=4, upsampler="pixelshuffledirect"),
+))
+
+# Color denoising (noise 15/50 share the arch; weights differ).
+for _sigma in (15, 50):
+    register_model(ModelSpec(
+        name=f"swinir_denoise_{_sigma}",
+        build=lambda **kw: SwinIR(**kw),
+        subtasks=("denoising",),
+        pad_multiple=8, pad_mode="extra", pad_kind="symmetric",
+        tile=None,
+        config=dict(embed_dim=180, depths=(6,) * 6, num_heads=(6,) * 6,
+                    window_size=8, upsampler=""),
+    ))
+
+# JPEG artifact removal (window 7, grayscale-capable; we serve color).
+register_model(ModelSpec(
+    name="swinir_jpeg_40",
+    build=lambda **kw: SwinIR(**kw),
+    subtasks=("jpeg compression artifact removal",),
+    pad_multiple=7, pad_mode="extra", pad_kind="symmetric",
+    tile=None,
+    config=dict(embed_dim=180, depths=(6,) * 6, num_heads=(6,) * 6,
+                window_size=7, upsampler="", img_range=255.0),
+))
+
+# Tiny CPU-testable config.
+register_model(ModelSpec(
+    name="swinir_tiny",
+    build=lambda **kw: SwinIR(**kw),
+    subtasks=("super-resolution",),
+    scale=4,
+    pad_multiple=8, pad_mode="extra", pad_kind="symmetric",
+    tile=None,
+    config=dict(embed_dim=16, depths=(2, 2), num_heads=(2, 2),
+                window_size=8, upscale=4, upsampler="pixelshuffle",
+                num_feat=16),
+))

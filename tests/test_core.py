@@ -1,0 +1,171 @@
+"""Tests for the core image pipeline: pad, tiling/blending, resize, color."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_restoration_agent_tpu.core import (
+    blend_tiles, extract_tiles, pad_to_multiple, plan_tiles, tiled_apply,
+    rgb_to_hsv, hsv_to_rgb,
+)
+from image_restoration_agent_tpu.core.pad import unpad
+from image_restoration_agent_tpu.core.resize import resize_matlab, resize_bicubic_torch
+
+
+class TestPad:
+    def test_ceil_aligned_is_noop(self, small_image):
+        out, hw = pad_to_multiple(jnp.asarray(small_image), 8, mode="ceil")
+        assert out.shape == small_image.shape and hw == (64, 48)
+
+    def test_extra_mode_always_pads(self, small_image):
+        # Reference SwinIR semantics: 64 -> 72 even though 64 % 8 == 0.
+        out, _ = pad_to_multiple(jnp.asarray(small_image), 8, mode="extra")
+        assert out.shape == (72, 56, 3)
+
+    def test_ceil_unaligned(self, rng):
+        img = jnp.asarray(rng.random((30, 21, 3), dtype=np.float32))
+        out, hw = pad_to_multiple(img, 8, mode="ceil")
+        assert out.shape == (32, 24, 3) and hw == (30, 21)
+
+    def test_symmetric_matches_flipcat(self, rng):
+        """Pad content must equal the reference's flip-concat trick."""
+        img = rng.random((10, 12, 3), dtype=np.float32)
+        out, _ = pad_to_multiple(jnp.asarray(img), 8, mode="ceil",
+                                 pad_mode="symmetric")
+        out = np.asarray(out)
+        # torch.cat([x, torch.flip(x, [H])])[:16] appends rows 9,8,7,...
+        np.testing.assert_allclose(out[10, :12], img[9])
+        np.testing.assert_allclose(out[15, :12], img[4])
+        np.testing.assert_allclose(out[:10, 12], img[:, 11])
+
+    def test_unpad_scales(self, small_image):
+        padded, hw = pad_to_multiple(jnp.asarray(small_image), 7, mode="extra")
+        up = jnp.repeat(jnp.repeat(padded, 4, 0), 4, 1)
+        cropped = unpad(up, hw, scale=4)
+        assert cropped.shape == (256, 192, 3)
+
+
+class TestTiling:
+    def test_plan_matches_reference_arithmetic(self):
+        # range(0, h - tile, stride) + [h - tile]
+        plan = plan_tiles(100, 80, 48, overlap=16)
+        assert plan.h_starts == (0, 32, 52)
+        assert plan.w_starts == (0, 32)
+        assert plan.num_tiles == 6
+
+    def test_plan_clamps_tile(self):
+        plan = plan_tiles(40, 100, 64, overlap=16)
+        assert plan.tile == 40
+
+    def test_extract_blend_identity(self, rng):
+        """With an identity model, tile+blend must reproduce the image."""
+        img = jnp.asarray(rng.random((72, 56, 3), dtype=np.float32))
+        plan = plan_tiles(72, 56, 32, overlap=8)
+        tiles = extract_tiles(img, plan)
+        assert tiles.shape == (plan.num_tiles, 32, 32, 3)
+        out = blend_tiles(tiles, plan, scale=1)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+
+    def test_blend_matches_reference_loop(self, rng):
+        """E/W accumulation must equal the reference's numpy-equivalent loop."""
+        img = rng.random((50, 41, 3), dtype=np.float32)
+        tile, overlap, scale = 24, 8, 2
+
+        def fake_model(patch):  # deterministic non-identity "model"
+            p = np.repeat(np.repeat(patch, scale, 0), scale, 1)
+            return p * 0.5 + 0.1
+
+        # Reference-style host loop (SwinIR model_serving.py:148-166).
+        h, w = img.shape[:2]
+        stride = tile - overlap
+        h_idx = list(range(0, h - tile, stride)) + [h - tile]
+        w_idx = list(range(0, w - tile, stride)) + [w - tile]
+        E = np.zeros((h * scale, w * scale, 3), np.float32)
+        W = np.zeros_like(E)
+        for hi in h_idx:
+            for wi in w_idx:
+                patch = fake_model(img[hi:hi + tile, wi:wi + tile])
+                E[hi * scale:(hi + tile) * scale,
+                  wi * scale:(wi + tile) * scale] += patch
+                W[hi * scale:(hi + tile) * scale,
+                  wi * scale:(wi + tile) * scale] += 1.0
+        want = E / W
+
+        plan = plan_tiles(h, w, tile, overlap)
+        tiles = extract_tiles(jnp.asarray(img), plan)
+        outs = jnp.asarray(np.stack([fake_model(np.asarray(t)) for t in tiles]))
+        got = blend_tiles(outs, plan, scale=scale)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_tiled_apply_identity_with_upscale(self, rng):
+        img = jnp.asarray(rng.random((70, 52, 3), dtype=np.float32))
+
+        def fn(batch):  # nearest 2x "SR model"
+            return jnp.repeat(jnp.repeat(batch, 2, 1), 2, 2)
+
+        out = tiled_apply(fn, img, tile=32, overlap=8, scale=2, batch=4,
+                          pad_multiple=8)
+        assert out.shape == (140, 104, 3)
+        want = np.repeat(np.repeat(np.asarray(img), 2, 0), 2, 1)
+        np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+    def test_tiled_apply_whole_image(self, rng):
+        img = jnp.asarray(rng.random((30, 30, 3), dtype=np.float32))
+        out = tiled_apply(lambda b: b + 1.0, img, tile=None, pad_multiple=8)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img) + 1.0,
+                                   atol=1e-6)
+
+    def test_tiled_apply_jittable(self, rng):
+        img = jnp.asarray(rng.random((64, 64, 3), dtype=np.float32))
+        f = jax.jit(lambda im: tiled_apply(
+            lambda b: b * 2.0, im, tile=32, overlap=8, batch=2))
+        np.testing.assert_allclose(np.asarray(f(img)),
+                                   np.asarray(img) * 2.0, atol=1e-6)
+
+
+class TestResize:
+    def test_matlab_downscale_quarter(self, rng):
+        img = jnp.asarray(rng.random((64, 64, 3), dtype=np.float32))
+        out = resize_matlab(img, scale=0.25)
+        assert out.shape == (16, 16, 3)
+
+    def test_matlab_constant_preserved(self):
+        img = jnp.full((32, 32, 3), 0.5, jnp.float32)
+        out = resize_matlab(img, scale=0.25)
+        np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-6)
+
+    def test_torch_bicubic_upscale(self):
+        img = jnp.full((16, 16, 3), 0.25, jnp.float32)
+        out = resize_bicubic_torch(img, 4.0)
+        assert out.shape == (64, 64, 3)
+        np.testing.assert_allclose(np.asarray(out), 0.25, atol=1e-6)
+
+    @pytest.mark.skipif(
+        not pytest.importorskip("torch", reason="torch unavailable"),
+        reason="torch unavailable")
+    def test_torch_bicubic_matches_torch(self, rng):
+        import torch
+        img = rng.random((1, 17, 13, 3), dtype=np.float32)
+        want = torch.nn.functional.interpolate(
+            torch.from_numpy(img.transpose(0, 3, 1, 2)), scale_factor=2,
+            mode="bicubic", align_corners=False,
+        ).numpy().transpose(0, 2, 3, 1)
+        got = np.asarray(resize_bicubic_torch(jnp.asarray(img), 2.0))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+class TestColor:
+    def test_hsv_roundtrip(self, rng):
+        rgb = jnp.asarray(rng.random((16, 16, 3), dtype=np.float32))
+        back = hsv_to_rgb(rgb_to_hsv(rgb))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=1e-5)
+
+    def test_hsv_matches_cv2(self, rng):
+        cv2 = pytest.importorskip("cv2")
+        rgb = rng.random((8, 8, 3), dtype=np.float32)
+        want = cv2.cvtColor(rgb, cv2.COLOR_RGB2HSV)
+        got = np.asarray(rgb_to_hsv(jnp.asarray(rgb)))
+        # H is in degrees (0..360), so give it a degree-scaled tolerance.
+        np.testing.assert_allclose(got[..., 0], want[..., 0], atol=1e-3)
+        np.testing.assert_allclose(got[..., 1:], want[..., 1:], atol=1e-5)
