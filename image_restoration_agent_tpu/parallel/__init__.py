@@ -1,0 +1,9 @@
+from .mesh import make_mesh, local_mesh
+from .tile_parallel import tiled_apply_sharded
+from .train_step import make_train_state, make_sharded_train_step
+
+__all__ = [
+    "make_mesh", "local_mesh",
+    "tiled_apply_sharded",
+    "make_train_state", "make_sharded_train_step",
+]

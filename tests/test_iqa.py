@@ -1,0 +1,86 @@
+"""IQA tests: PSNR/SSIM correctness and evaluator contract."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_restoration_agent_tpu.iqa import psnr, ssim, Scorer
+from image_restoration_agent_tpu.iqa.classifier import (
+    DEGRADATIONS, EVALUATED_DEGRADATIONS, SEVERITY_LEVELS, SeverityEvaluator,
+)
+
+
+class TestPSNR:
+    def test_identical_images_infinite_ish(self, rng):
+        img = jnp.asarray(rng.random((32, 32, 3), dtype=np.float32))
+        assert float(psnr(img, img)) > 100.0
+
+    def test_known_value(self):
+        a = jnp.zeros((10, 10, 3))
+        b = jnp.full((10, 10, 3), 0.1)
+        # mse = 0.01 -> psnr = 10*log10(1/0.01) = 20 dB
+        np.testing.assert_allclose(float(psnr(a, b)), 20.0, atol=1e-4)
+
+    def test_symmetry(self, rng):
+        a = jnp.asarray(rng.random((16, 16, 3), dtype=np.float32))
+        b = jnp.asarray(rng.random((16, 16, 3), dtype=np.float32))
+        np.testing.assert_allclose(float(psnr(a, b)), float(psnr(b, a)),
+                                   atol=1e-5)
+
+
+class TestSSIM:
+    def test_identical_is_one(self, rng):
+        img = jnp.asarray(rng.random((32, 32, 3), dtype=np.float32))
+        np.testing.assert_allclose(float(ssim(img, img)), 1.0, atol=1e-5)
+
+    def test_noise_lowers_ssim(self, rng):
+        img = jnp.asarray(rng.random((64, 64, 3), dtype=np.float32))
+        noisy = img + jnp.asarray(
+            rng.normal(0, 0.2, (64, 64, 3)).astype(np.float32))
+        s = float(ssim(jnp.clip(noisy, 0, 1), img))
+        assert 0.0 < s < 0.9
+
+    def test_monotone_in_noise(self, rng):
+        img = jnp.asarray(rng.random((64, 64, 3), dtype=np.float32))
+        vals = []
+        for sigma in (0.02, 0.1, 0.3):
+            noisy = jnp.clip(img + jnp.asarray(
+                rng.normal(0, sigma, (64, 64, 3)).astype(np.float32)), 0, 1)
+            vals.append(float(ssim(noisy, img)))
+        assert vals[0] > vals[1] > vals[2]
+
+
+class TestScorer:
+    def test_align_x4(self, rng):
+        sc = Scorer()
+        small = rng.random((16, 16, 3), dtype=np.float32)
+        big = rng.random((64, 64, 3), dtype=np.float32)
+        out = sc.score_arrays(small, big)
+        assert set(out) == {"psnr", "ssim"}
+        assert np.isfinite(out["psnr"])
+
+    def test_mismatched_raises(self, rng):
+        sc = Scorer()
+        with pytest.raises(ValueError):
+            sc.score_arrays(rng.random((16, 16, 3), dtype=np.float32),
+                            rng.random((40, 40, 3), dtype=np.float32))
+
+
+class TestSeverityEvaluator:
+    def test_contract_shapes(self, rng):
+        ev = SeverityEvaluator()
+        img = rng.random((50, 70, 3), dtype=np.float32)
+        evaluation = ev.evaluate(img)
+        assert len(evaluation) == 7
+        assert {d for d, _ in evaluation} == set(EVALUATED_DEGRADATIONS)
+        assert all(s in SEVERITY_LEVELS for _, s in evaluation)
+
+    def test_severity_of_single(self, rng):
+        ev = SeverityEvaluator()
+        img = rng.random((50, 70, 3), dtype=np.float32)
+        s = ev.severity_of(img, "noise")
+        assert s in SEVERITY_LEVELS
+
+    def test_eight_degradations_declared(self):
+        assert len(DEGRADATIONS) == 8
+        assert "low resolution" in DEGRADATIONS
