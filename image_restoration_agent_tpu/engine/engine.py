@@ -1,0 +1,176 @@
+"""Single-process multi-model restoration engine.
+
+Replaces the reference's 26 Flask services + curl contracts
+(AgentApp/model_service/*, model_services.yaml) with one process holding a
+model registry, a weight store with HBM-LRU residency, and jit caches keyed
+by (model, static pipeline config, bucketed shape) so repeated requests hit
+compiled programs.
+
+Shape bucketing: arbitrary request sizes are padded up to the model's pad
+multiple and then to a bucket grid (default 128px) before tiling, bounding
+the number of distinct compiled programs (SURVEY.md §7 hard part 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.io import load_image, save_image, to_float, to_uint8
+from ..core.tiling import tiled_apply
+from ..models import build_model
+from ..models.registry import MODEL_REGISTRY, ModelSpec, get_spec
+from .weights import WeightStore
+
+
+@dataclasses.dataclass
+class RestorationResult:
+    image: np.ndarray          # uint8 RGB
+    model: str
+    seconds: float
+    input_shape: tuple
+    output_shape: tuple
+
+
+def _bucket(size: int, bucket: int, multiple: int) -> int:
+    """Round up to the bucket grid, keeping the model's pad multiple."""
+    b = max(bucket, multiple)
+    b = b - (b % multiple) if b % multiple else b
+    return -(-size // b) * b
+
+
+class Engine:
+    """In-process serving runtime for the whole model zoo."""
+
+    def __init__(
+        self,
+        weight_dir: Optional[Path] = None,
+        hbm_budget_bytes: int = 12 * 1024 ** 3,
+        param_dtype: Any = jnp.float32,
+        shape_bucket: int = 128,
+        default_batch: int = 4,
+    ):
+        self.weight_dir = Path(weight_dir) if weight_dir else None
+        self.param_dtype = param_dtype
+        self.shape_bucket = shape_bucket
+        self.default_batch = default_batch
+        self.store = WeightStore(self._load_params, hbm_budget_bytes)
+        self._jit_cache: dict[tuple, Callable] = {}
+        self.call_log: list[dict] = []
+
+    # ---------------- weights ----------------
+
+    def _load_params(self, name: str):
+        """Load params: orbax checkpoint if available, else deterministic
+        random init (keeps the engine usable without released weights)."""
+        spec = get_spec(name)
+        model = build_model(name)
+        if self.weight_dir is not None:
+            ckpt = self.weight_dir / name
+            if ckpt.exists():
+                import orbax.checkpoint as ocp
+
+                with ocp.StandardCheckpointer() as ckptr:
+                    sample = jnp.zeros((1, 64, 64, 3), self.param_dtype)
+                    template = jax.eval_shape(
+                        lambda: model.init(jax.random.PRNGKey(0), sample))
+                    params = ckptr.restore(ckpt.resolve(), template)
+                return params
+        tile = spec.tile or 64
+        sample = jnp.zeros((1, min(tile, 64), min(tile, 64), 3))
+        params = model.init(jax.random.PRNGKey(0), sample)
+        if self.param_dtype != jnp.float32:
+            params = jax.tree.map(
+                lambda x: x.astype(self.param_dtype)
+                if x.dtype == jnp.float32 else x, params)
+        return params
+
+    # ---------------- inference ----------------
+
+    def _pipeline(self, name: str, h: int, w: int,
+                  tile: Optional[int], overlap: int, batch: int):
+        key = (name, h, w, tile, overlap, batch)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            spec = get_spec(name)
+            model = build_model(name)
+
+            def fwd(params, batch_tiles):
+                x = batch_tiles.astype(self.param_dtype)
+                return model.apply(params, x).astype(jnp.float32)
+
+            def pipeline(params, img):
+                return tiled_apply(
+                    lambda b: fwd(params, b), img, tile=tile,
+                    overlap=overlap, scale=spec.scale, batch=batch,
+                    pad_multiple=spec.pad_multiple, pad_mode=spec.pad_mode,
+                    pad_kind=spec.pad_kind)
+
+            fn = jax.jit(pipeline)
+            self._jit_cache[key] = fn
+        return fn
+
+    def restore_array(self, img: np.ndarray, model_name: str,
+                      tile: Optional[int] = "auto",
+                      overlap: Optional[int] = None,
+                      batch: Optional[int] = None) -> RestorationResult:
+        """Restore a float [0,1] (H, W, 3) array. Pads to the shape-bucket
+        grid so arbitrary sizes reuse compiled programs."""
+        spec = get_spec(model_name)
+        if tile == "auto":
+            tile = spec.tile
+        if overlap is None:
+            overlap = spec.tile_overlap
+        if batch is None:
+            batch = self.default_batch
+
+        t0 = time.perf_counter()
+        h0, w0 = img.shape[:2]
+        hb = _bucket(h0, self.shape_bucket, spec.pad_multiple)
+        wb = _bucket(w0, self.shape_bucket, spec.pad_multiple)
+        if (hb, wb) != (h0, w0):
+            pad_kind = "symmetric" if min(h0, w0) >= max(hb - h0, wb - w0) \
+                else "edge"
+            img = np.pad(img, ((0, hb - h0), (0, wb - w0), (0, 0)),
+                         mode=pad_kind)
+
+        params = self.store.get(model_name)
+        fn = self._pipeline(model_name, hb, wb, tile, overlap, batch)
+        out = fn(params, jnp.asarray(img, jnp.float32))
+        out = np.asarray(jax.device_get(out))
+        out = out[: h0 * spec.scale, : w0 * spec.scale]
+        out = np.clip(out, 0.0, 1.0)
+        dt = time.perf_counter() - t0
+        self.call_log.append({"model": model_name, "h": h0, "w": w0,
+                              "seconds": dt})
+        return RestorationResult(
+            image=to_uint8(out), model=model_name, seconds=dt,
+            input_shape=(h0, w0), output_shape=out.shape[:2])
+
+    def restore_file(self, input_path: str | Path, output_path: str | Path,
+                     model_name: str, **kw) -> RestorationResult:
+        img = to_float(load_image(input_path))
+        res = self.restore_array(img, model_name, **kw)
+        save_image(res.image, output_path)
+        return res
+
+    # ---------------- observability ----------------
+
+    def status(self) -> dict:
+        """Engine health snapshot (reference: /health endpoints +
+        GPUServiceManager.get_service_status)."""
+        return {
+            "device": jax.devices()[0].platform,
+            "models_registered": len(MODEL_REGISTRY),
+            "models_resident": self.store.resident,
+            "resident_bytes": self.store.resident_bytes,
+            "evictions": list(self.store.evictions),
+            "compiled_pipelines": len(self._jit_cache),
+            "calls": len(self.call_log),
+        }
