@@ -4,5 +4,9 @@ from .registry import MODEL_REGISTRY, register_model, build_model, list_models
 from . import nafnet as _nafnet          # noqa: F401
 from . import restormer as _restormer    # noqa: F401
 from . import swinir as _swinir          # noqa: F401
+from . import dehazeformer as _dhf       # noqa: F401
+from . import mprnet as _mprnet          # noqa: F401
+from . import fbcnn as _fbcnn            # noqa: F401
+from . import xrestormer as _xrestormer  # noqa: F401
 
 __all__ = ["MODEL_REGISTRY", "register_model", "build_model", "list_models"]

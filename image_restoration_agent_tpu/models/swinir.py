@@ -19,11 +19,14 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.pallas_attention import wmsa_pallas
 from ..ops.pixel_shuffle import pixel_shuffle
 from ..ops.window_attention import (
+    relative_position_index,
     shift_attention_mask,
     window_attention,
     window_partition,
@@ -35,22 +38,43 @@ from .registry import ModelSpec, register_model
 RGB_MEAN = (0.4488, 0.4371, 0.4040)  # DIV2K mean (network_swinir.py:716)
 
 
+def _use_pallas(impl: str) -> bool:
+    if impl == "pallas":
+        return True
+    if impl == "xla":
+        return False
+    return jax.default_backend() == "tpu"  # "auto"
+
+
 class WindowAttentionLayer(nn.Module):
     dim: int
     window_size: int
     num_heads: int
     qkv_bias: bool = True
+    attention_impl: str = "auto"  # "auto" | "xla" | "pallas"
 
     @nn.compact
     def __call__(self, xw, mask):
         # xw: (nWB, N, C)
+        ws = self.window_size
+        n = ws * ws
         table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02),
-            ((2 * self.window_size - 1) ** 2, self.num_heads),
+            ((2 * ws - 1) ** 2, self.num_heads),
         )
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv")(xw)
-        out = window_attention(qkv, self.num_heads, table, self.window_size, mask)
+        if _use_pallas(self.attention_impl):
+            idx = jnp.asarray(relative_position_index(ws).reshape(-1))
+            rpb = table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
+            nwb = qkv.shape[0]
+            nw = 1 if mask is None else mask.shape[0]
+            g = next(g for g in (8, 4, 2, 1)
+                     if nwb % g == 0 and nw % g == 0)
+            out = wmsa_pallas(qkv, rpb.astype(jnp.float32), mask,
+                              num_heads=self.num_heads, g=g)
+        else:
+            out = window_attention(qkv, self.num_heads, table, ws, mask)
         return nn.Dense(self.dim, name="proj")(out)
 
 
@@ -60,6 +84,7 @@ class SwinBlock(nn.Module):
     window_size: int
     shift_size: int
     mlp_ratio: float = 2.0
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -76,7 +101,9 @@ class SwinBlock(nn.Module):
         mask_np = shift_attention_mask(h, w, ws, shift)
         mask = None if mask_np is None else jnp.asarray(mask_np)
         yw = window_partition(y, ws).reshape(-1, ws * ws, c)
-        yw = WindowAttentionLayer(self.dim, ws, self.num_heads, name="attn")(yw, mask)
+        yw = WindowAttentionLayer(self.dim, ws, self.num_heads,
+                                  attention_impl=self.attention_impl,
+                                  name="attn")(yw, mask)
         y = window_reverse(yw.reshape(-1, ws, ws, c), ws, h, w)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
@@ -96,6 +123,7 @@ class RSTB(nn.Module):
     num_heads: int
     window_size: int
     mlp_ratio: float = 2.0
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -104,7 +132,8 @@ class RSTB(nn.Module):
             x = SwinBlock(
                 self.dim, self.num_heads, self.window_size,
                 shift_size=0 if i % 2 == 0 else self.window_size // 2,
-                mlp_ratio=self.mlp_ratio, name=f"block{i}")(x)
+                mlp_ratio=self.mlp_ratio,
+                attention_impl=self.attention_impl, name=f"block{i}")(x)
         x = Conv(self.dim, kernel=3, name="conv")(x)
         return x + res
 
@@ -123,6 +152,7 @@ class SwinIR(nn.Module):
     upsampler: str = ""          # "pixelshuffle" | "pixelshuffledirect" | ""
     patch_norm: bool = True
     num_feat: int = 64           # head width for the pixelshuffle upsampler
+    attention_impl: str = "auto"  # window attention backend
 
     @nn.compact
     def __call__(self, x):
@@ -137,7 +167,8 @@ class SwinIR(nn.Module):
             y = nn.LayerNorm(epsilon=1e-5, name="patch_embed_norm")(y)
         for i, (d, h) in enumerate(zip(self.depths, self.num_heads)):
             y = RSTB(self.embed_dim, d, h, self.window_size,
-                     self.mlp_ratio, name=f"layer{i}")(y)
+                     self.mlp_ratio, attention_impl=self.attention_impl,
+                     name=f"layer{i}")(y)
         y = nn.LayerNorm(epsilon=1e-5, name="norm")(y)
         y = Conv(self.embed_dim, kernel=3, name="conv_after_body")(y) + feat
 
