@@ -1,0 +1,110 @@
+"""Command-line entry points.
+
+- ``python -m image_restoration_agent_tpu.cli infer <image> [-o out_dir]``
+  runs the IRAgent (reference: python -m pipeline.infer, do_test.sh).
+- ``... serve [--port 1146]`` starts the agent HTTP API
+  (reference agentic_api.py on :1146).
+- ``... eval-service [--port 6006]`` starts the DepictQA-contract evaluation
+  service.
+- ``... restore <image> --model <name> -o out.png`` one model, one image.
+- ``... test-tools`` smoke-runs every registered tool with the x1/x4 shape
+  check (reference test_tool/test_tool.py + test_env.sh).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="image_restoration_agent_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("infer", help="run the full agent on one image")
+    pi.add_argument("image")
+    pi.add_argument("-o", "--output-dir", default="output")
+    pi.add_argument("--fast", action="store_true",
+                    help="tiny models (CPU smoke)")
+    pi.add_argument("--evaluate-by", default="local",
+                    choices=["local", "gpt4v", "clip_retrieval"])
+    pi.add_argument("--no-reflection", action="store_true")
+    pi.add_argument("--no-rollback", action="store_true")
+
+    ps = sub.add_parser("serve", help="start the agent HTTP API")
+    ps.add_argument("--host", default="0.0.0.0")
+    ps.add_argument("--port", type=int, default=1146)
+    ps.add_argument("--work-root", default="api_work")
+    ps.add_argument("--fast", action="store_true")
+
+    pe = sub.add_parser("eval-service",
+                        help="DepictQA-contract evaluation service")
+    pe.add_argument("--host", default="127.0.0.1")
+    pe.add_argument("--port", type=int, default=6006)
+
+    pr = sub.add_parser("restore", help="run one model on one image")
+    pr.add_argument("image")
+    pr.add_argument("--model", required=True)
+    pr.add_argument("-o", "--output", default="output.png")
+    pr.add_argument("--tile", type=int, default=None)
+
+    pt = sub.add_parser("test-tools", help="smoke-test every tool")
+    pt.add_argument("--fast", action="store_true", default=True)
+    pt.add_argument("--work-dir", default="/tmp/ira_tool_test")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "infer":
+        from .agent import IRAgent, build_default_executor
+
+        agent = IRAgent(
+            Path(args.image), Path(args.output_dir),
+            executor=build_default_executor(fast=args.fast),
+            evaluate_degradation_by=args.evaluate_by,
+            with_reflection=not args.no_reflection,
+            with_rollback=not args.no_rollback,
+            silent=False,
+        )
+        result = agent.run()
+        print(json.dumps({"result": str(result),
+                          "work_dir": str(agent.work_dir)}))
+    elif args.cmd == "serve":
+        from .agent.executor import build_default_executor
+        from .api import make_server
+
+        srv = make_server(host=args.host, port=args.port,
+                          work_root=Path(args.work_root),
+                          executor=build_default_executor(fast=args.fast))
+        print(f"agent API on {args.host}:{srv.server_address[1]}")
+        srv.serve_forever()
+    elif args.cmd == "eval-service":
+        from .api.eval_service import make_eval_server
+
+        srv = make_eval_server(args.host, args.port)
+        print(f"eval service on {args.host}:{args.port}")
+        srv.serve_forever()
+    elif args.cmd == "restore":
+        from .engine import Engine
+
+        eng = Engine()
+        res = eng.restore_file(args.image, args.output, args.model,
+                               tile=args.tile or "auto")
+        print(json.dumps({"output": str(args.output),
+                          "seconds": round(res.seconds, 3),
+                          "shape": list(res.output_shape)}))
+    elif args.cmd == "test-tools":
+        import numpy as np
+
+        from .agent.executor import build_default_executor
+
+        ex = build_default_executor(fast=args.fast)
+        img = np.random.default_rng(0).random((24, 24, 3)).astype(np.float32)
+        report = ex.test_all_tools(img, Path(args.work_dir))
+        print(json.dumps(report, indent=2, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
