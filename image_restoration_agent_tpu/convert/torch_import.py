@@ -1,0 +1,263 @@
+"""Torch checkpoint -> Flax parameter conversion.
+
+The reference ships torch ``.pth`` checkpoints per tool (AgentApp/weights/**
+download scripts; load_state_dict with ``params``/``params_ema`` selection —
+SwinIR model_serving.py:113-121). This module loads them on CPU torch,
+remaps names per model family, transposes layouts:
+
+- Conv2d  (O, I, kh, kw)  -> (kh, kw, I, O)
+- Depthwise Conv2d (C, 1, kh, kw) -> (kh, kw, 1, C)
+- ConvTranspose2d (I, O, kh, kw) -> flax ConvTranspose (kh, kw, I, O)
+- Linear  (O, I)          -> (I, O)
+
+and validates the result strictly against the Flax module's own parameter
+template (every leaf must exist with the exact shape). Converted trees are
+persisted as orbax checkpoints for the engine's weight store.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------- tensor transforms ----------------
+
+def t_conv(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def t_dwconv(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))  # (C,1,k,k) -> (k,k,1,C)
+
+
+def t_convT(w: np.ndarray) -> np.ndarray:
+    # torch ConvTranspose2d (I, O, kh, kw); flax ConvTranspose wants
+    # (kh, kw, I, O) with spatially-flipped kernels relative to torch.
+    return np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1))
+
+
+def t_linear(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def t_id(w: np.ndarray) -> np.ndarray:
+    return w
+
+
+def t_squeeze(w: np.ndarray) -> np.ndarray:
+    return np.reshape(w, (-1,))
+
+
+# ---------------- loading ----------------
+
+def load_torch_checkpoint(path: str | Path,
+                          param_key: Optional[str] = "auto") -> dict:
+    """Load a .pth into {name: np.ndarray}, honoring the reference's
+    params/params_ema key selection."""
+    import torch
+
+    raw = torch.load(str(path), map_location="cpu", weights_only=False)
+    if param_key == "auto":
+        for key in ("params_ema", "params", "state_dict", "model"):
+            if isinstance(raw, dict) and key in raw and \
+                    isinstance(raw[key], dict):
+                raw = raw[key]
+                break
+    elif param_key and isinstance(raw, dict) and param_key in raw:
+        raw = raw[param_key]
+    return {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+            for k, v in raw.items()}
+
+
+# ---------------- mapping engine ----------------
+
+Rule = tuple[str, str, Callable[[np.ndarray], np.ndarray]]
+
+
+def _set(tree: dict, path: str, value: np.ndarray) -> None:
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = jnp.asarray(value)
+
+
+def convert_state_dict(state: dict, rules: list[Rule],
+                       template=None, strict: bool = True) -> dict:
+    """Apply (regex -> path template, transform) rules to a torch state dict.
+
+    The regex's groups fill ``\\1``-style backrefs in the path template.
+    With a template (a flax params tree or eval_shape thereof), validates
+    completeness and shapes.
+    """
+    params: dict = {}
+    unmatched = []
+    for key, value in state.items():
+        for pattern, path_tpl, transform in rules:
+            m = re.fullmatch(pattern, key)
+            if m:
+                path = m.expand(path_tpl)
+                _set(params, path, transform(np.asarray(value)))
+                break
+        else:
+            unmatched.append(key)
+    if strict and unmatched:
+        raise KeyError(f"unmapped torch keys: {unmatched[:8]}"
+                       f"{'...' if len(unmatched) > 8 else ''}")
+    out = {"params": params} if template is not None and \
+        "params" in template else params
+    if template is not None:
+        _validate(out, template)
+    return out
+
+
+def _validate(tree, template) -> None:
+    flat_t = jax.tree_util.tree_flatten_with_path(template)[0]
+    flat_g_paths = {jax.tree_util.keystr(p)
+                    for p, _ in jax.tree_util.tree_flatten_with_path(tree)[0]}
+    missing, bad = [], []
+    got_by_path = dict(jax.tree_util.tree_flatten_with_path(tree)[0])
+    for path, leaf in flat_t:
+        key = jax.tree_util.keystr(path)
+        if key not in flat_g_paths:
+            missing.append(key)
+        else:
+            got = got_by_path[path]
+            if tuple(got.shape) != tuple(leaf.shape):
+                bad.append((key, tuple(got.shape), tuple(leaf.shape)))
+    extra = flat_g_paths - {jax.tree_util.keystr(p) for p, _ in flat_t}
+    problems = []
+    if missing:
+        problems.append(f"missing: {missing[:6]}")
+    if bad:
+        problems.append(f"shape mismatches: {bad[:6]}")
+    if extra:
+        problems.append(f"extra: {sorted(extra)[:6]}")
+    if problems:
+        raise ValueError("conversion mismatch — " + "; ".join(problems))
+
+
+def save_as_orbax(params, path: str | Path) -> None:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(Path(path).resolve(), jax.device_get(params), force=True)
+
+
+# ---------------- per-model rule sets ----------------
+
+def nafnet_rules() -> list[Rule]:
+    """Reference NAFNet state-dict names (NAFNet_arch.py) -> models/nafnet.py."""
+    rules: list[Rule] = []
+
+    def block_rules(src: str, dst: str) -> list[Rule]:
+        out: list[Rule] = []
+        for i in (1, 3, 4, 5):
+            out.append((rf"{src}\.conv{i}\.weight",
+                        rf"{dst}/conv{i}/Conv_0/kernel", t_conv))
+            out.append((rf"{src}\.conv{i}\.bias",
+                        rf"{dst}/conv{i}/Conv_0/bias", t_id))
+        out.append((rf"{src}\.conv2\.weight", rf"{dst}/conv2/Conv_0/kernel",
+                    t_dwconv))
+        out.append((rf"{src}\.conv2\.bias", rf"{dst}/conv2/Conv_0/bias",
+                    t_id))
+        out.append((rf"{src}\.sca\.1\.weight", rf"{dst}/sca_conv/Conv_0/kernel",
+                    t_conv))
+        out.append((rf"{src}\.sca\.1\.bias", rf"{dst}/sca_conv/Conv_0/bias",
+                    t_id))
+        for nm in ("norm1", "norm2"):
+            out.append((rf"{src}\.{nm}\.weight", rf"{dst}/{nm}/weight", t_id))
+            out.append((rf"{src}\.{nm}\.bias", rf"{dst}/{nm}/bias", t_id))
+        out.append((rf"{src}\.beta", rf"{dst}/beta", t_squeeze))
+        out.append((rf"{src}\.gamma", rf"{dst}/gamma", t_squeeze))
+        return out
+
+    rules += [(r"intro\.weight", r"intro/Conv_0/kernel", t_conv),
+              (r"intro\.bias", r"intro/Conv_0/bias", t_id),
+              (r"ending\.weight", r"ending/Conv_0/kernel", t_conv),
+              (r"ending\.bias", r"ending/Conv_0/bias", t_id)]
+    rules += block_rules(r"encoders\.(\d+)\.(\d+)", r"enc\1_blk\2")
+    rules += block_rules(r"decoders\.(\d+)\.(\d+)", r"dec\1_blk\2")
+    rules += block_rules(r"middle_blks\.(\d+)", r"mid_blk\1")
+    rules += [(r"downs\.(\d+)\.weight", r"down\1/Conv_0/kernel", t_conv),
+              (r"downs\.(\d+)\.bias", r"down\1/Conv_0/bias", t_id),
+              (r"ups\.(\d+)\.0\.weight", r"up\1/Conv_0/kernel", t_conv)]
+    return rules
+
+
+def swinir_rules() -> list[Rule]:
+    """Reference SwinIR names (network_swinir.py) -> models/swinir.py."""
+    L = r"layers\.(\d+)\.residual_group\.blocks\.(\d+)"
+    D = r"layer\1/block\2"
+    rules: list[Rule] = [
+        (r"conv_first\.weight", r"conv_first/Conv_0/kernel", t_conv),
+        (r"conv_first\.bias", r"conv_first/Conv_0/bias", t_id),
+        (r"patch_embed\.norm\.weight", r"patch_embed_norm/scale", t_id),
+        (r"patch_embed\.norm\.bias", r"patch_embed_norm/bias", t_id),
+        (rf"{L}\.norm1\.weight", rf"{D}/norm1/scale", t_id),
+        (rf"{L}\.norm1\.bias", rf"{D}/norm1/bias", t_id),
+        (rf"{L}\.norm2\.weight", rf"{D}/norm2/scale", t_id),
+        (rf"{L}\.norm2\.bias", rf"{D}/norm2/bias", t_id),
+        (rf"{L}\.attn\.relative_position_bias_table",
+         rf"{D}/attn/relative_position_bias_table", t_id),
+        (rf"{L}\.attn\.relative_position_index", None, None),  # buffer: drop
+        (rf"{L}\.attn\.qkv\.weight", rf"{D}/attn/qkv/kernel", t_linear),
+        (rf"{L}\.attn\.qkv\.bias", rf"{D}/attn/qkv/bias", t_id),
+        (rf"{L}\.attn\.proj\.weight", rf"{D}/attn/proj/kernel", t_linear),
+        (rf"{L}\.attn\.proj\.bias", rf"{D}/attn/proj/bias", t_id),
+        (rf"{L}\.mlp\.fc1\.weight", rf"{D}/fc1/kernel", t_linear),
+        (rf"{L}\.mlp\.fc1\.bias", rf"{D}/fc1/bias", t_id),
+        (rf"{L}\.mlp\.fc2\.weight", rf"{D}/fc2/kernel", t_linear),
+        (rf"{L}\.mlp\.fc2\.bias", rf"{D}/fc2/bias", t_id),
+        (r"layers\.(\d+)\.conv\.weight", r"layer\1/conv/Conv_0/kernel",
+         t_conv),
+        (r"layers\.(\d+)\.conv\.bias", r"layer\1/conv/Conv_0/bias", t_id),
+        (r"norm\.weight", r"norm/scale", t_id),
+        (r"norm\.bias", r"norm/bias", t_id),
+        (r"conv_after_body\.weight", r"conv_after_body/Conv_0/kernel",
+         t_conv),
+        (r"conv_after_body\.bias", r"conv_after_body/Conv_0/bias", t_id),
+        (r"conv_before_upsample\.0\.weight",
+         r"conv_before_upsample/Conv_0/kernel", t_conv),
+        (r"conv_before_upsample\.0\.bias",
+         r"conv_before_upsample/Conv_0/bias", t_id),
+        (r"conv_last\.weight", r"conv_last/Conv_0/kernel", t_conv),
+        (r"conv_last\.bias", r"conv_last/Conv_0/bias", t_id),
+        # buffers to drop
+        (r".*attn_mask", None, None),
+    ]
+    # torch Upsample is an nn.Sequential of [conv, PixelShuffle] pairs:
+    # indices 0, 2, 4... are convs -> our upsample0, upsample1, ...
+    out: list[Rule] = []
+    for pat, tpl, tr in rules:
+        if tpl is None:
+            out.append((pat, "", _drop))
+        else:
+            out.append((pat, tpl, tr))
+    for i in range(4):
+        out.append((rf"upsample\.{2 * i}\.weight",
+                    rf"upsample{i}/Conv_0/kernel", t_conv))
+        out.append((rf"upsample\.{2 * i}\.bias",
+                    rf"upsample{i}/Conv_0/bias", t_id))
+    return out
+
+
+def _drop(w):  # sentinel transform: key intentionally ignored
+    return None
+
+
+def convert_with_drops(state: dict, rules: list[Rule], template=None,
+                       strict: bool = True) -> dict:
+    """Like convert_state_dict but rules whose path template is empty
+    drop the key (buffers like relative_position_index, attn_mask)."""
+    kept_rules = [(p, t, f) for p, t, f in rules if t != ""]
+    drop_pats = [p for p, t, f in rules if t == ""]
+    filtered = {k: v for k, v in state.items()
+                if not any(re.fullmatch(p, k) for p in drop_pats)}
+    return convert_state_dict(filtered, kept_rules, template, strict)
