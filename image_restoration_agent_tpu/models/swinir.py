@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.pallas_attention import wmsa_pallas
-from ..ops.pixel_shuffle import pixel_shuffle
+from ..ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
 from ..ops.window_attention import (
     relative_position_index,
     shift_attention_mask,
@@ -153,12 +153,16 @@ class SwinIR(nn.Module):
     patch_norm: bool = True
     num_feat: int = 64           # head width for the pixelshuffle upsampler
     attention_impl: str = "auto"  # window attention backend
+    unshuffle_scale: int = 0     # DiffBIR stage-1: pixel-unshuffle input by 8
 
     @nn.compact
     def __call__(self, x):
         mean = jnp.asarray(RGB_MEAN).reshape(1, 1, 1, 3)
         if self.img_channels == 3:
             x = (x - mean) * self.img_range
+        inp = x
+        if self.unshuffle_scale > 1:
+            x = pixel_unshuffle(x, self.unshuffle_scale)
 
         feat = Conv(self.embed_dim, kernel=3, name="conv_first")(x)
 
@@ -188,6 +192,23 @@ class SwinIR(nn.Module):
             y = Conv(self.img_channels * self.upscale ** 2, kernel=3,
                      name="upsample_direct")(y)
             y = pixel_shuffle(y, self.upscale)
+        elif self.upsampler == "nearest+conv":
+            # Real-SR / DiffBIR stage-1 head: nearest x2 + conv (+lrelu)
+            # stages, then conv_hr + conv_last.
+            y = Conv(self.num_feat, kernel=3, name="conv_before_upsample")(y)
+            y = nn.leaky_relu(y, negative_slope=0.01)
+            s, stage = self.upscale, 0
+            while s > 1:
+                b, hh, ww, cc = y.shape
+                y = jax.image.resize(y, (b, 2 * hh, 2 * ww, cc),
+                                     method="nearest")
+                y = Conv(self.num_feat, kernel=3, name=f"conv_up{stage}")(y)
+                y = nn.leaky_relu(y, negative_slope=0.2)
+                s //= 2
+                stage += 1
+            y = Conv(self.num_feat, kernel=3, name="conv_hr")(y)
+            y = nn.leaky_relu(y, negative_slope=0.2)
+            y = Conv(self.img_channels, kernel=3, name="conv_last")(y)
         else:  # denoising / JPEG artifact removal: global residual
             y = Conv(self.img_channels, kernel=3, name="conv_last")(y) + x
 
