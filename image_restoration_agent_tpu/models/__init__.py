@@ -12,5 +12,6 @@ from . import hat as _hat                # noqa: F401
 from . import maxim as _maxim            # noqa: F401
 from . import ridcp as _ridcp            # noqa: F401
 from .diffbir import pipeline as _diffbir  # noqa: F401
+from . import drbnet as _drbnet          # noqa: F401
 
 __all__ = ["MODEL_REGISTRY", "register_model", "build_model", "list_models"]
