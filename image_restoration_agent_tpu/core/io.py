@@ -25,7 +25,22 @@ except Exception:  # pragma: no cover
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode encoded image bytes to an RGB uint8 (H, W, 3) array."""
+    """Decode encoded image bytes to an RGB uint8 (H, W, 3) array.
+
+    PNGs go through the native zlib codec (native/png_codec.cpp) when it is
+    built; everything else (and any native failure) falls back to PIL."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from . import io_native
+
+        out = io_native.decode_png(data)
+        if out is not None:
+            if out.shape[-1] == 1:
+                out = np.repeat(out, 3, axis=-1)
+            elif out.shape[-1] == 4:
+                out = out[..., :3]
+            elif out.shape[-1] == 2:  # gray+alpha
+                out = np.repeat(out[..., :1], 3, axis=-1)
+            return out
     if not _HAVE_PIL:  # pragma: no cover
         raise RuntimeError("PIL unavailable")
     img = Image.open(_io.BytesIO(data))
@@ -33,7 +48,12 @@ def decode_image(data: bytes) -> np.ndarray:
 
 
 def encode_png(img: np.ndarray) -> bytes:
-    """Encode an RGB uint8 array as PNG bytes."""
+    """Encode an RGB uint8 array as PNG bytes (native codec when built)."""
+    from . import io_native
+
+    out = io_native.encode_png(img)
+    if out is not None:
+        return out
     buf = _io.BytesIO()
     Image.fromarray(img).save(buf, format="PNG")
     return buf.getvalue()

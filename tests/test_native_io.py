@@ -1,0 +1,70 @@
+"""Native PNG codec tests (skipped when the toolchain can't build it)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from image_restoration_agent_tpu.core import io_native as nat
+from image_restoration_agent_tpu.core.io import decode_image, encode_png
+
+pytestmark = pytest.mark.skipif(not nat.available(),
+                                reason="native codec not built")
+
+
+class TestNativeCodec:
+    def test_roundtrip_vs_pil(self, rng):
+        from PIL import Image
+
+        img = (rng.random((64, 96, 3)) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        dec = nat.decode_png(buf.getvalue())
+        np.testing.assert_array_equal(dec, img)
+
+        enc = nat.encode_png(img)
+        back = np.asarray(Image.open(io.BytesIO(enc)).convert("RGB"))
+        np.testing.assert_array_equal(back, img)
+
+    def test_all_filter_types_decode(self, rng):
+        """PIL picks adaptive per-row filters at higher effort; a gradient
+        image exercises sub/up/avg/paeth rows."""
+        from PIL import Image
+
+        yy, xx = np.mgrid[0:128, 0:128]
+        img = np.stack([xx, yy, (xx + yy) // 2], -1).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG", optimize=True)
+        np.testing.assert_array_equal(nat.decode_png(buf.getvalue()), img)
+
+    def test_grayscale_and_rgba(self, rng):
+        from PIL import Image
+
+        gray = (rng.random((32, 32)) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(gray, mode="L").save(buf, format="PNG")
+        out = nat.decode_png(buf.getvalue())
+        np.testing.assert_array_equal(out[..., 0], gray)
+
+        rgba = (rng.random((32, 32, 4)) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(rgba, mode="RGBA").save(buf, format="PNG")
+        out = nat.decode_png(buf.getvalue())
+        np.testing.assert_array_equal(out, rgba)
+
+    def test_io_module_uses_native_path(self, rng):
+        img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+        data = encode_png(img)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        np.testing.assert_array_equal(decode_image(data), img)
+
+    def test_fused_normalize_pad(self, rng):
+        img = (rng.random((20, 30, 3)) * 255).astype(np.uint8)
+        out = nat.u8_to_f32_pad(img, 24, 32)
+        assert out.shape == (24, 32, 3)
+        np.testing.assert_allclose(out[:20, :30], img / 255.0, atol=1e-7)
+        assert out[20:].sum() == 0 and out[:, 30:].sum() == 0
+
+    def test_corrupt_data_returns_none(self):
+        assert nat.decode_png(b"not a png") is None
+        assert nat.decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 10) is None
