@@ -41,7 +41,7 @@ class LocalEvaluator:
     """Classifier-backed evaluator (DepictQA stand-in, fully on-TPU)."""
 
     def __init__(self, severity_evaluator: Optional[SeverityEvaluator] = None):
-        self.ev = severity_evaluator or SeverityEvaluator()
+        self.ev = severity_evaluator or SeverityEvaluator.default()
 
     def _img(self, img_path) -> np.ndarray:
         return to_float(load_image(img_path))

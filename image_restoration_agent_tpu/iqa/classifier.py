@@ -75,16 +75,48 @@ class SeverityEvaluator:
     """
 
     def __init__(self, params=None, model: DegradationClassifier | None = None,
-                 rng_seed: int = 0):
+                 rng_seed: int = 0, input_size: int = 224):
         self.model = model or DegradationClassifier()
+        self.input_size = input_size
         if params is None:
             params = self.model.init(
-                jax.random.PRNGKey(rng_seed), jnp.zeros((1, 224, 224, 3)))
+                jax.random.PRNGKey(rng_seed),
+                jnp.zeros((1, input_size, input_size, 3)))
         self.params = params
         self._apply = jax.jit(self.model.apply)
 
+    @classmethod
+    def from_checkpoint(cls, path, input_size: int = 160,
+                        model: "DegradationClassifier | None" = None):
+        """Load trained params saved by train/classifier.py (orbax)."""
+        import orbax.checkpoint as ocp
+        from pathlib import Path
+
+        model = model or DegradationClassifier()
+        template = jax.eval_shape(lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, input_size, input_size, 3))))
+        with ocp.StandardCheckpointer() as ck:
+            params = ck.restore(Path(path).resolve(), template)
+        return cls(params=params, model=model, input_size=input_size)
+
+    @classmethod
+    def default(cls):
+        """Trained checkpoint if shipped (weights/degradation_classifier),
+        else random init."""
+        from pathlib import Path
+
+        ckpt = Path(__file__).resolve().parents[1] / "weights" / \
+            "degradation_classifier"
+        if ckpt.exists():
+            try:
+                return cls.from_checkpoint(ckpt)
+            except Exception:
+                pass
+        return cls()
+
     def logits(self, img: np.ndarray) -> np.ndarray:
-        x = jnp.asarray(prepare_input(img))[None]
+        x = jnp.asarray(prepare_input(img, self.input_size))[None]
         return np.asarray(self._apply(self.params, x))[0]
 
     def evaluate(self, img: np.ndarray) -> list[tuple[str, str]]:

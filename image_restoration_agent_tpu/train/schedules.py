@@ -80,3 +80,19 @@ def cosine_annealing_restart_cyclic_lr(base_lr: float,
     assert len(periods) == len(restart_weights) == len(eta_mins)
     return _cosine_core(base_lr, list(periods), list(restart_weights),
                         list(eta_mins))
+
+
+def with_gradual_warmup(schedule, warmup_steps: int,
+                        multiplier: float = 1.0):
+    """Gradual warmup wrapper (the reference vendors
+    pytorch-gradual-warmup-lr for MPRNet training): linearly scale the
+    wrapped schedule from base/multiplier to full over warmup_steps."""
+
+    def warmed(step):
+        s = jnp.asarray(step, jnp.float32)
+        lr = schedule(step)
+        frac = jnp.clip(s / max(warmup_steps, 1), 0.0, 1.0)
+        scale = (1.0 + (multiplier - 1.0) * frac) / multiplier
+        return lr * jnp.where(s < warmup_steps, scale, 1.0)
+
+    return warmed
