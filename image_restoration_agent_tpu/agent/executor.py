@@ -149,32 +149,53 @@ class Executor:
         return report
 
 
-#: subtask -> [(tool_name, engine model name)] for the ported zoo.
-#: Rosters follow the reference toolboxes (SURVEY.md §2.2) restricted to
-#: models implemented so far; they widen as the zoo grows.
+#: subtask -> [(tool_name, engine model name)]: the full reference rosters
+#: (SURVEY.md §2.2 per-subtask toolboxes), every entry backed by a ported
+#: network.
 DEFAULT_TOOLBOXES: dict[str, list[tuple[str, str]]] = {
     "super-resolution": [
+        ("diffbir", "diffbir"),
+        ("xrestormer", "xrestormer"),
         ("swinir_sr", "swinir_sr_x4"),
         ("swinir_lightweight_sr", "swinir_lightweight_sr_x4"),
+        ("hat", "hat_sr_x4"),
     ],
     "denoising": [
+        ("xrestormer", "xrestormer"),
         ("swinir_denoise_15", "swinir_denoise_15"),
         ("swinir_denoise_50", "swinir_denoise_50"),
+        ("mprnet", "mprnet"),
+        ("maxim", "maxim_s2"),
         ("restormer", "restormer"),
-        ("nafnet", "nafnet"),
     ],
     "motion deblurring": [
         ("restormer", "restormer"),
-        ("nafnet", "nafnet"),
+        ("mprnet", "mprnet"),
+        ("maxim", "maxim_s2"),
+        ("xrestormer", "xrestormer"),
     ],
     "defocus deblurring": [
+        ("drbnet", "drbnet"),
         ("restormer", "restormer"),
+        # IFAN is registered ("ifan") and servable; the reference keeps it
+        # out of the default toolbox (defocus_deblurring/__init__.py).
     ],
-    "dehazing": [],           # DehazeFormer / RIDCP / MAXIM pending
+    "dehazing": [
+        ("xrestormer", "xrestormer"),
+        ("ridcp", "ridcp"),
+        ("dehazeformer", "dehazeformer_b"),
+        ("maxim", "maxim_s2"),
+    ],
     "deraining": [
+        ("maxim", "maxim_s3"),
+        ("xrestormer", "xrestormer"),
         ("restormer", "restormer"),
+        ("mprnet", "mprnet"),
     ],
     "jpeg compression artifact removal": [
+        ("fbcnn_blind", "fbcnn_blind"),
+        ("fbcnn_qf5", "fbcnn_qf5"),
+        ("fbcnn_qf90", "fbcnn_qf90"),
         ("swinir_jpeg", "swinir_jpeg_40"),
     ],
 }

@@ -162,6 +162,21 @@ class Engine:
 
     # ---------------- observability ----------------
 
+    def profile(self, log_dir: str | Path):
+        """jax.profiler trace context around engine calls
+        (SURVEY.md §5.1: the reference has only wall-clock prints)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _ctx():
+            jax.profiler.start_trace(str(log_dir))
+            try:
+                yield self
+            finally:
+                jax.profiler.stop_trace()
+
+        return _ctx()
+
     def status(self) -> dict:
         """Engine health snapshot (reference: /health endpoints +
         GPUServiceManager.get_service_status)."""

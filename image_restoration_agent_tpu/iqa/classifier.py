@@ -131,3 +131,16 @@ class SeverityEvaluator:
         lg = self.logits(img)
         i = DEGRADATIONS.index(degradation)
         return SEVERITY_LEVELS[int(lg[i].argmax())]
+
+    def severity_with_confidence(self, img: np.ndarray,
+                                 degradation: str) -> tuple[str, float]:
+        """Severity plus softmax probability of the chosen level — the
+        classifier analog of DepictQA's token-probability confidence
+        (DepictQA/src/utils/confidence.py)."""
+        lg = self.logits(img)
+        i = DEGRADATIONS.index(degradation)
+        row = lg[i] - lg[i].max()
+        probs = np.exp(row)
+        probs /= probs.sum()
+        j = int(probs.argmax())
+        return SEVERITY_LEVELS[j], float(probs[j])

@@ -13,5 +13,6 @@ from . import maxim as _maxim            # noqa: F401
 from . import ridcp as _ridcp            # noqa: F401
 from .diffbir import pipeline as _diffbir  # noqa: F401
 from . import drbnet as _drbnet          # noqa: F401
+from . import ifan as _ifan              # noqa: F401
 
 __all__ = ["MODEL_REGISTRY", "register_model", "build_model", "list_models"]
