@@ -54,6 +54,14 @@ def main(argv=None):
     pt.add_argument("--fast", action="store_true", default=True)
     pt.add_argument("--work-dir", default="/tmp/ira_tool_test")
 
+    pv = sub.add_parser("eval-suite",
+                        help="run the 16-combo agent benchmark")
+    pv.add_argument("--work-dir", default="eval_suite_work")
+    pv.add_argument("--combos", type=int, default=16,
+                    help="how many of the 16 combos to run")
+    pv.add_argument("--images-per-combo", type=int, default=1)
+    pv.add_argument("--fast", action="store_true", default=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "infer":
@@ -94,6 +102,17 @@ def main(argv=None):
         print(json.dumps({"output": str(args.output),
                           "seconds": round(res.seconds, 3),
                           "shape": list(res.output_shape)}))
+    elif args.cmd == "eval-suite":
+        from .offline.benchmark_suite import ALL_COMBOS, run_suite
+
+        report = run_suite(Path(args.work_dir),
+                           combos=ALL_COMBOS[: args.combos],
+                           images_per_combo=args.images_per_combo,
+                           fast=args.fast)
+        print(json.dumps({"mean_input_psnr": report["mean_input_psnr"],
+                          "mean_output_psnr": report["mean_output_psnr"],
+                          "cases": len(report["records"]),
+                          "report": str(Path(args.work_dir) / "report.md")}))
     elif args.cmd == "test-tools":
         import numpy as np
 
