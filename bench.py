@@ -37,7 +37,19 @@ def main() -> None:
     p.add_argument("--model", default="swinir_sr_x4")
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    p.add_argument("--config", default=None,
+                   choices=[None, "nafnet_denoise", "restormer_720p",
+                            "swinir_2k_sr"],
+                   help="BASELINE.json preset overriding model/size/tile")
     args = p.parse_args()
+
+    # BASELINE.json configs #1-#3 as presets (config #3 is the default CLI)
+    if args.config == "nafnet_denoise":
+        args.model, args.size, args.tile = "nafnet", "256x256", 256
+    elif args.config == "restormer_720p":
+        args.model, args.size, args.tile = "restormer", "1280x720", 256
+    elif args.config == "swinir_2k_sr":
+        args.model, args.size, args.tile = "swinir_sr_x4", "1920x1080", 256
 
     import jax
     import jax.numpy as jnp

@@ -8,8 +8,6 @@ reshaped to (kh, kw, 1, C).
 
 from __future__ import annotations
 
-from typing import Callable
-
 import flax.linen as nn
 import jax.numpy as jnp
 

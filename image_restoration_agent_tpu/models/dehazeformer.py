@@ -18,7 +18,7 @@ Distinctive pieces, all reproduced exactly:
 from __future__ import annotations
 
 import functools
-from typing import Sequence
+from typing import Sequence  # noqa: F401
 
 import flax.linen as nn
 import jax

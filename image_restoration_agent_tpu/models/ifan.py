@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .common import Conv
-from .drbnet import ConvStack, ResBlockDRB, UpConv, _lrelu
+from .drbnet import ResBlockDRB, UpConv, _lrelu
 from .registry import ModelSpec, register_model
 
 

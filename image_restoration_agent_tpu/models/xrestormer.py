@@ -23,9 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.gates import gated_gelu
-from ..ops.mdta import mdta_attention
-from .common import Conv, DWConv, RestormerLayerNorm
+from .common import Conv, RestormerLayerNorm
 from .registry import ModelSpec, register_model
 from .restormer import Downsample, GDFN, MDTABlock, Upsample
 
