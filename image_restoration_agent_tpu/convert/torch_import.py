@@ -252,6 +252,64 @@ def _drop(w):  # sentinel transform: key intentionally ignored
     return None
 
 
+def restormer_rules() -> list[Rule]:
+    """Reference Restormer names (restormer_arch.py) -> models/restormer.py.
+
+    Stage name mapping: encoder_level1.{i} -> encoder_level1_{i}, etc.;
+    LayerNorms live under .body; temperature is (heads, 1, 1) -> (heads,).
+    """
+    stages = ("encoder_level1", "encoder_level2", "encoder_level3",
+              "latent", "decoder_level3", "decoder_level2",
+              "decoder_level1", "refinement")
+    rules: list[Rule] = [
+        (r"patch_embed\.proj\.weight", r"patch_embed/Conv_0/kernel", t_conv),
+        (r"patch_embed\.proj\.bias", r"patch_embed/Conv_0/bias", t_id),
+        (r"output\.weight", r"output/Conv_0/kernel", t_conv),
+        (r"output\.bias", r"output/Conv_0/bias", t_id),
+        (r"skip_conv\.weight", r"skip_conv/Conv_0/kernel", t_conv),
+    ]
+    for st in stages:
+        S = rf"{st}\.(\d+)"
+        D = rf"{st}_\1"
+        rules += [
+            (rf"{S}\.norm1\.body\.weight", rf"{D}/norm1/weight", t_id),
+            (rf"{S}\.norm1\.body\.bias", rf"{D}/norm1/bias", t_id),
+            (rf"{S}\.norm2\.body\.weight", rf"{D}/norm2/weight", t_id),
+            (rf"{S}\.norm2\.body\.bias", rf"{D}/norm2/bias", t_id),
+            (rf"{S}\.attn\.temperature", rf"{D}/attn/temperature", t_squeeze),
+            (rf"{S}\.attn\.qkv\.weight", rf"{D}/attn/qkv/Conv_0/kernel",
+             t_conv),
+            (rf"{S}\.attn\.qkv\.bias", rf"{D}/attn/qkv/Conv_0/bias", t_id),
+            (rf"{S}\.attn\.qkv_dwconv\.weight",
+             rf"{D}/attn/qkv_dwconv/Conv_0/kernel", t_dwconv),
+            (rf"{S}\.attn\.qkv_dwconv\.bias",
+             rf"{D}/attn/qkv_dwconv/Conv_0/bias", t_id),
+            (rf"{S}\.attn\.project_out\.weight",
+             rf"{D}/attn/project_out/Conv_0/kernel", t_conv),
+            (rf"{S}\.attn\.project_out\.bias",
+             rf"{D}/attn/project_out/Conv_0/bias", t_id),
+            (rf"{S}\.ffn\.project_in\.weight",
+             rf"{D}/ffn/project_in/Conv_0/kernel", t_conv),
+            (rf"{S}\.ffn\.project_in\.bias",
+             rf"{D}/ffn/project_in/Conv_0/bias", t_id),
+            (rf"{S}\.ffn\.dwconv\.weight",
+             rf"{D}/ffn/dwconv/Conv_0/kernel", t_dwconv),
+            (rf"{S}\.ffn\.dwconv\.bias", rf"{D}/ffn/dwconv/Conv_0/bias",
+             t_id),
+            (rf"{S}\.ffn\.project_out\.weight",
+             rf"{D}/ffn/project_out/Conv_0/kernel", t_conv),
+            (rf"{S}\.ffn\.project_out\.bias",
+             rf"{D}/ffn/project_out/Conv_0/bias", t_id),
+        ]
+    for name in ("down1_2", "down2_3", "down3_4", "up4_3", "up3_2", "up2_1"):
+        rules.append((rf"{name}\.body\.0\.weight",
+                      rf"{name}/conv/Conv_0/kernel", t_conv))
+    for name in ("reduce_chan_level3", "reduce_chan_level2"):
+        rules.append((rf"{name}\.weight", rf"{name}/Conv_0/kernel", t_conv))
+        rules.append((rf"{name}\.bias", rf"{name}/Conv_0/bias", t_id))
+    return rules
+
+
 def convert_with_drops(state: dict, rules: list[Rule], template=None,
                        strict: bool = True) -> dict:
     """Like convert_state_dict but rules whose path template is empty
