@@ -62,7 +62,7 @@ def tiled_apply_sharded(
         c = outs.shape[-1]
         canvas = jnp.zeros((h * scale, w * scale, c), outs.dtype)
         # mark the carry as device-varying so the scan carry types match
-        canvas = jax.lax.pvary(canvas, (axis,))
+        canvas = jax.lax.pcast(canvas, (axis,), to="varying")
 
         def body(e, inp):
             patch, off = inp
