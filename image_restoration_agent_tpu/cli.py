@@ -54,6 +54,17 @@ def main(argv=None):
     pt.add_argument("--fast", action="store_true", default=True)
     pt.add_argument("--work-dir", default="/tmp/ira_tool_test")
 
+    psc = sub.add_parser("score", help="batch-score results vs ground truth")
+    psc.add_argument("result_dir")
+    psc.add_argument("gt_dir")
+    psc.add_argument("-o", "--output", default=None)
+
+    pir = sub.add_parser("insert-runs",
+                         help="embed solved agent runs into the retrieval "
+                              "store")
+    pir.add_argument("output_dir", help="agent output dir with run subdirs")
+    pir.add_argument("--store", default="retrieval_store.npz")
+
     pv = sub.add_parser("eval-suite",
                         help="run the 16-combo agent benchmark")
     pv.add_argument("--work-dir", default="eval_suite_work")
@@ -102,6 +113,25 @@ def main(argv=None):
         print(json.dumps({"output": str(args.output),
                           "seconds": round(res.seconds, 3),
                           "shape": list(res.output_shape)}))
+    elif args.cmd == "score":
+        from .offline import compute_scores
+
+        out = compute_scores(Path(args.result_dir), Path(args.gt_dir),
+                             Path(args.output) if args.output else None)
+        print(json.dumps({"mean": out["mean"], "n": out["n"]}))
+    elif args.cmd == "insert-runs":
+        from .retrieval import NumpyVectorStore, RetrievalEmbedder
+        from .train.retrieval import insert_solved_runs
+
+        emb = RetrievalEmbedder()
+        store_path = Path(args.store)
+        store = (NumpyVectorStore.load(store_path, embedder=emb)
+                 if store_path.exists()
+                 else NumpyVectorStore(dim=640, embedder=emb))
+        n = insert_solved_runs(Path(args.output_dir), store, emb)
+        store.save(store_path)
+        print(json.dumps({"inserted": n, "total": len(store),
+                          "store": str(store_path)}))
     elif args.cmd == "eval-suite":
         from .offline.benchmark_suite import ALL_COMBOS, run_suite
 
