@@ -200,17 +200,17 @@ def swinir_rules() -> list[Rule]:
         (r"conv_first\.bias", r"conv_first/Conv_0/bias", t_id),
         (r"patch_embed\.norm\.weight", r"patch_embed_norm/scale", t_id),
         (r"patch_embed\.norm\.bias", r"patch_embed_norm/bias", t_id),
-        (rf"{L}\.norm1\.weight", rf"{D}/norm1/scale", t_id),
-        (rf"{L}\.norm1\.bias", rf"{D}/norm1/bias", t_id),
+        (rf"{L}\.norm1\.weight", rf"{D}/attn/norm_scale", t_id),
+        (rf"{L}\.norm1\.bias", rf"{D}/attn/norm_bias", t_id),
         (rf"{L}\.norm2\.weight", rf"{D}/norm2/scale", t_id),
         (rf"{L}\.norm2\.bias", rf"{D}/norm2/bias", t_id),
         (rf"{L}\.attn\.relative_position_bias_table",
          rf"{D}/attn/relative_position_bias_table", t_id),
         (rf"{L}\.attn\.relative_position_index", None, None),  # buffer: drop
-        (rf"{L}\.attn\.qkv\.weight", rf"{D}/attn/qkv/kernel", t_linear),
-        (rf"{L}\.attn\.qkv\.bias", rf"{D}/attn/qkv/bias", t_id),
-        (rf"{L}\.attn\.proj\.weight", rf"{D}/attn/proj/kernel", t_linear),
-        (rf"{L}\.attn\.proj\.bias", rf"{D}/attn/proj/bias", t_id),
+        (rf"{L}\.attn\.qkv\.weight", rf"{D}/attn/qkv_kernel", t_linear),
+        (rf"{L}\.attn\.qkv\.bias", rf"{D}/attn/qkv_bias_p", t_id),
+        (rf"{L}\.attn\.proj\.weight", rf"{D}/attn/proj_kernel", t_linear),
+        (rf"{L}\.attn\.proj\.bias", rf"{D}/attn/proj_bias_p", t_id),
         (rf"{L}\.mlp\.fc1\.weight", rf"{D}/fc1/kernel", t_linear),
         (rf"{L}\.mlp\.fc1\.bias", rf"{D}/fc1/bias", t_id),
         (rf"{L}\.mlp\.fc2\.weight", rf"{D}/fc2/kernel", t_linear),

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.pallas_attention import wmsa_pallas
+from ..ops.pallas_attention import wmsa_block_pallas, wmsa_pallas
 from ..ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
 from ..ops.window_attention import (
     relative_position_index,
@@ -38,44 +38,84 @@ from .registry import ModelSpec, register_model
 RGB_MEAN = (0.4488, 0.4371, 0.4040)  # DIV2K mean (network_swinir.py:716)
 
 
-def _use_pallas(impl: str) -> bool:
-    if impl == "pallas":
-        return True
-    if impl == "xla":
-        return False
-    return jax.default_backend() == "tpu"  # "auto"
+def _resolve_impl(impl: str) -> str:
+    if impl == "auto":
+        return "pallas_block" if jax.default_backend() == "tpu" else "xla"
+    return impl
 
 
 class WindowAttentionLayer(nn.Module):
+    """Pre-norm windowed attention half-block: LN -> qkv -> MHSA -> proj,
+    returning ``xw + proj(attn(LN(xw)))`` (the residual is inside).
+
+    Parameters are raw tensors (qkv_kernel/..., norm_scale/...) so the same
+    checkpoint drives all three backends:
+    - "xla": einsum attention (CPU-friendly),
+    - "pallas": fused attention kernel (ops/pallas_attention.wmsa_pallas),
+    - "pallas_block": everything — LN, qkv matmul, attention, projection,
+      residual — in one VMEM-resident kernel (wmsa_block_pallas); kills the
+      per-block layout copies and LN/qkv/proj HBM round trips that profile
+      as ~2/3 of SwinIR-M block time.
+    """
+
     dim: int
     window_size: int
     num_heads: int
     qkv_bias: bool = True
-    attention_impl: str = "auto"  # "auto" | "xla" | "pallas"
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, xw, mask):
-        # xw: (nWB, N, C)
+        # xw: (nWB, N, C), pre-norm (the block shortcut)
         ws = self.window_size
         n = ws * ws
+        c = self.dim
+        impl = _resolve_impl(self.attention_impl)
+
         table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02),
             ((2 * ws - 1) ** 2, self.num_heads),
         )
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv")(xw)
-        if _use_pallas(self.attention_impl):
+        norm_scale = self.param("norm_scale", nn.initializers.ones, (c,))
+        norm_bias = self.param("norm_bias", nn.initializers.zeros, (c,))
+        qkv_kernel = self.param("qkv_kernel",
+                                nn.initializers.lecun_normal(), (c, 3 * c))
+        qkv_b = self.param("qkv_bias_p", nn.initializers.zeros, (3 * c,)) \
+            if self.qkv_bias else jnp.zeros((3 * c,), xw.dtype)
+        proj_kernel = self.param("proj_kernel",
+                                 nn.initializers.lecun_normal(), (c, c))
+        proj_b = self.param("proj_bias_p", nn.initializers.zeros, (c,))
+
+        nwb = xw.shape[0]
+        nw = 1 if mask is None else mask.shape[0]
+        g = next(gg for gg in (8, 4, 2, 1)
+                 if nwb % gg == 0 and nw % gg == 0)
+
+        if impl == "pallas_block":
             idx = jnp.asarray(relative_position_index(ws).reshape(-1))
             rpb = table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
-            nwb = qkv.shape[0]
-            nw = 1 if mask is None else mask.shape[0]
-            g = next(g for g in (8, 4, 2, 1)
-                     if nwb % g == 0 and nw % g == 0)
+            return wmsa_block_pallas(
+                xw, norm_scale, norm_bias, qkv_kernel, qkv_b,
+                proj_kernel, proj_b, rpb, mask, num_heads=self.num_heads,
+                g=g)
+
+        # unfused paths: LN + matmuls in XLA, attention per impl
+        xf = xw.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        y = ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * norm_scale
+             + norm_bias).astype(xw.dtype)
+        qkv = y @ qkv_kernel.astype(y.dtype) + qkv_b.astype(y.dtype)
+        if impl == "pallas":
+            idx = jnp.asarray(relative_position_index(ws).reshape(-1))
+            rpb = table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
             out = wmsa_pallas(qkv, rpb.astype(jnp.float32), mask,
                               num_heads=self.num_heads, g=g)
         else:
             out = window_attention(qkv, self.num_heads, table, ws, mask)
-        return nn.Dense(self.dim, name="proj")(out)
+        return xw + out @ proj_kernel.astype(out.dtype) \
+            + proj_b.astype(out.dtype)
 
 
 class SwinBlock(nn.Module):
@@ -94,8 +134,10 @@ class SwinBlock(nn.Module):
         # (reference SwinTransformerBlock.__init__:205-208).
         shift = 0 if min(h, w) <= ws else self.shift_size
 
-        shortcut = x
-        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        # The attention half-block (LN -> attn -> proj -> +residual) runs on
+        # raw (rolled, windowed) features; LN is pixelwise so it commutes
+        # with roll/partition.
+        y = x
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
         mask_np = shift_attention_mask(h, w, ws, shift)
@@ -107,7 +149,7 @@ class SwinBlock(nn.Module):
         y = window_reverse(yw.reshape(-1, ws, ws, c), ws, h, w)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
-        x = shortcut + y
+        x = y
 
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)

@@ -75,6 +75,148 @@ def _kernel(qkv_ref, rpb_ref, hmask_ref, wmask_ref, out_ref, lg_ref, *,
             out_ref[w] = acc.astype(out_ref.dtype)
 
 
+def _block_kernel(xw_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                  bproj_ref, rpb_ref, hmask_ref, wmask_ref, out_ref,
+                  y_ref, qkv_ref, attn_ref, lg_ref, *,
+                  num_heads, head_dim, g, pair, use_wmask, eps=1e-5):
+    """Fused Swin attention half-block: LN -> qkv -> window MHSA -> proj ->
+    +residual, one grid step per g windows, everything VMEM-resident."""
+    c = num_heads * head_dim
+    n = xw_ref.shape[1]
+    scale = head_dim ** -0.5
+
+    # stage 0: LayerNorm all g windows into y_ref (g*n, C)
+    x_all = xw_ref[:].reshape(g * n, c)
+    xf = x_all.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * lnw_ref[:][None, :] + lnb_ref[:][None, :]
+    y_ref[:] = y.astype(y_ref.dtype)
+
+    # stage 1: one big qkv matmul for the whole block
+    qkv_ref[:] = (jax.lax.dot_general(
+        y_ref[:], wqkv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + bqkv_ref[:][None, :]).astype(qkv_ref.dtype)
+
+    # stage 2: window attention (same staged design as wmsa_pallas)
+    for w0 in range(0, g, pair):
+        wins = range(w0, min(w0 + pair, g))
+        for wi, w in enumerate(wins):
+            q = qkv_ref[w * n:(w + 1) * n, :c]
+            k = qkv_ref[w * n:(w + 1) * n, c:2 * c]
+            for h in range(num_heads):
+                qm = q * hmask_ref[h][None, :]
+                lg = jax.lax.dot_general(
+                    qm, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                lg = lg + rpb_ref[h]
+                if use_wmask:
+                    lg = lg + wmask_ref[w]
+                lg_ref[(wi * num_heads + h) * n:
+                       (wi * num_heads + h + 1) * n, :] = lg
+        allg = lg_ref[: len(list(wins)) * num_heads * n, :]
+        m = jnp.max(allg, axis=-1, keepdims=True)
+        p = jnp.exp(allg - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(qkv_ref.dtype)
+        for wi, w in enumerate(wins):
+            v = qkv_ref[w * n:(w + 1) * n, 2 * c:]
+            acc = jnp.zeros((n, c), jnp.float32)
+            for h in range(num_heads):
+                vm = v * hmask_ref[h][None, :]
+                acc = acc + jax.lax.dot_general(
+                    p[(wi * num_heads + h) * n:
+                      (wi * num_heads + h + 1) * n, :], vm,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            attn_ref[w * n:(w + 1) * n, :] = acc.astype(attn_ref.dtype)
+
+    # stage 3: output projection + residual for the whole block
+    proj = jax.lax.dot_general(
+        attn_ref[:], wproj_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bproj_ref[:][None, :]
+    out_ref[:] = (proj.reshape(g, n, c)
+                  + xw_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "g", "interpret"))
+def wmsa_block_pallas(xw, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                      rpb, mask=None, num_heads: int = 6, g: int = 8,
+                      interpret: bool = False):
+    """Fused LN + qkv + window-MHSA + proj + residual.
+
+    Args:
+        xw: (nWB, N, C) pre-norm window features (the block shortcut).
+        ln_scale/ln_bias: (C,) LayerNorm affine (eps 1e-5).
+        wqkv: (C, 3C), bqkv: (3C,) — torch-order packed q|k|v.
+        wproj: (C, C), bproj: (C,).
+        rpb: (heads, N, N) f32; mask optional (nW, N, N) f32.
+
+    Returns:
+        (nWB, N, C) = xw + proj(attn(LN(xw))).
+    """
+    nwb, n, c = xw.shape
+    hd = c // num_heads
+    assert nwb % g == 0, (nwb, g)
+    pair = 2 if g % 2 == 0 else 1
+
+    head_mask = np.zeros((num_heads, c), np.float32)
+    for h in range(num_heads):
+        head_mask[h, h * hd:(h + 1) * hd] = 1.0
+    hmask = jnp.asarray(head_mask, dtype=xw.dtype)
+
+    use_wmask = mask is not None
+    if use_wmask:
+        nw = mask.shape[0]
+        assert nwb % nw == 0 and nw % g == 0, (nwb, nw, g)
+        wmask_arg = mask.astype(jnp.float32)
+        wmask_spec = pl.BlockSpec((g, n, n), lambda i: (i % (nw // g), 0, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        wmask_arg = jnp.zeros((1, n, n), jnp.float32)
+        wmask_spec = pl.BlockSpec((1, n, n), lambda i: (0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _block_kernel, num_heads=num_heads, head_dim=hd, g=g, pair=pair,
+        use_wmask=use_wmask)
+
+    def rep(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nwb // g,),
+        in_specs=[
+            pl.BlockSpec((g, n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            rep((c,)), rep((c,)),
+            rep((c, 3 * c)), rep((3 * c,)),
+            rep((c, c)), rep((c,)),
+            rep((num_heads, n, n)),
+            rep((num_heads, c)),
+            wmask_spec,
+        ],
+        out_specs=pl.BlockSpec((g, n, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nwb, n, c), xw.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((g * n, c), xw.dtype),            # y (post-LN)
+            pltpu.VMEM((g * n, 3 * c), xw.dtype),        # qkv
+            pltpu.VMEM((g * n, c), xw.dtype),            # attn out
+            pltpu.VMEM((pair * num_heads * n, n), jnp.float32),  # logits
+        ],
+        interpret=interpret,
+    )(xw, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
+      wqkv.astype(xw.dtype), bqkv.astype(jnp.float32),
+      wproj.astype(xw.dtype), bproj.astype(jnp.float32),
+      rpb.astype(jnp.float32), hmask, wmask_arg)
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "g", "interpret"))
 def wmsa_pallas(qkv: jnp.ndarray, rpb: jnp.ndarray,
                 mask: jnp.ndarray | None = None, num_heads: int = 6,
