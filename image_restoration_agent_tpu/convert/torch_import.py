@@ -202,8 +202,8 @@ def swinir_rules() -> list[Rule]:
         (r"patch_embed\.norm\.bias", r"patch_embed_norm/bias", t_id),
         (rf"{L}\.norm1\.weight", rf"{D}/attn/norm_scale", t_id),
         (rf"{L}\.norm1\.bias", rf"{D}/attn/norm_bias", t_id),
-        (rf"{L}\.norm2\.weight", rf"{D}/norm2/scale", t_id),
-        (rf"{L}\.norm2\.bias", rf"{D}/norm2/bias", t_id),
+        (rf"{L}\.norm2\.weight", rf"{D}/norm2_scale", t_id),
+        (rf"{L}\.norm2\.bias", rf"{D}/norm2_bias", t_id),
         (rf"{L}\.attn\.relative_position_bias_table",
          rf"{D}/attn/relative_position_bias_table", t_id),
         (rf"{L}\.attn\.relative_position_index", None, None),  # buffer: drop
@@ -211,10 +211,10 @@ def swinir_rules() -> list[Rule]:
         (rf"{L}\.attn\.qkv\.bias", rf"{D}/attn/qkv_bias_p", t_id),
         (rf"{L}\.attn\.proj\.weight", rf"{D}/attn/proj_kernel", t_linear),
         (rf"{L}\.attn\.proj\.bias", rf"{D}/attn/proj_bias_p", t_id),
-        (rf"{L}\.mlp\.fc1\.weight", rf"{D}/fc1/kernel", t_linear),
-        (rf"{L}\.mlp\.fc1\.bias", rf"{D}/fc1/bias", t_id),
-        (rf"{L}\.mlp\.fc2\.weight", rf"{D}/fc2/kernel", t_linear),
-        (rf"{L}\.mlp\.fc2\.bias", rf"{D}/fc2/bias", t_id),
+        (rf"{L}\.mlp\.fc1\.weight", rf"{D}/fc1_kernel", t_linear),
+        (rf"{L}\.mlp\.fc1\.bias", rf"{D}/fc1_bias", t_id),
+        (rf"{L}\.mlp\.fc2\.weight", rf"{D}/fc2_kernel", t_linear),
+        (rf"{L}\.mlp\.fc2\.bias", rf"{D}/fc2_bias", t_id),
         (r"layers\.(\d+)\.conv\.weight", r"layer\1/conv/Conv_0/kernel",
          t_conv),
         (r"layers\.(\d+)\.conv\.bias", r"layer\1/conv/Conv_0/bias", t_id),

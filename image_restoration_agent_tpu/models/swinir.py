@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.pallas_attention import wmsa_block_pallas, wmsa_pallas
+from ..ops.pallas_attention import (mlp_block_pallas, wmsa_block_pallas,
+                                    wmsa_pallas)
 from ..ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
 from ..ops.window_attention import (
     relative_position_index,
@@ -151,11 +152,30 @@ class SwinBlock(nn.Module):
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         x = y
 
-        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        # MLP half-block: raw params shared across backends.
         hidden = int(self.dim * self.mlp_ratio)
-        y = nn.Dense(hidden, name="fc1")(y)
+        n2_scale = self.param("norm2_scale", nn.initializers.ones, (c,))
+        n2_bias = self.param("norm2_bias", nn.initializers.zeros, (c,))
+        w1 = self.param("fc1_kernel", nn.initializers.lecun_normal(),
+                        (c, hidden))
+        b1 = self.param("fc1_bias", nn.initializers.zeros, (hidden,))
+        w2 = self.param("fc2_kernel", nn.initializers.lecun_normal(),
+                        (hidden, c))
+        b2 = self.param("fc2_bias", nn.initializers.zeros, (c,))
+
+        if _resolve_impl(self.attention_impl) == "pallas_block":
+            x2d = x.reshape(-1, c)
+            out = mlp_block_pallas(x2d, n2_scale, n2_bias, w1, b1, w2, b2)
+            return out.reshape(b, h, w, c)
+
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        y = ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * n2_scale
+             + n2_bias).astype(x.dtype)
+        y = y @ w1.astype(y.dtype) + b1.astype(y.dtype)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(self.dim, name="fc2")(y)
+        y = y @ w2.astype(y.dtype) + b2.astype(y.dtype)
         return x + y
 
 

@@ -217,6 +217,78 @@ def wmsa_block_pallas(xw, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
       rpb.astype(jnp.float32), hmask, wmask_arg)
 
 
+def _erf_approx(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (|err| <= 1.5e-7): Mosaic has
+    no erf lowering, and this is far below bf16 resolution."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _mlp_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                out_ref, *, eps=1e-5):
+    """Fused transformer MLP half-block: LN -> fc1 -> exact GELU -> fc2 ->
+    +residual, rowwise over a block of tokens."""
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = (y * lnw_ref[:][None, :] + lnb_ref[:][None, :]).astype(x.dtype)
+    h = jax.lax.dot_general(y, w1_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) \
+        + b1_ref[:][None, :]
+    # exact-erf GELU (torch F.gelu default), erf via A&S approximation
+    h = 0.5 * h * (1.0 + _erf_approx(h * (2.0 ** -0.5)))
+    h = h.astype(x.dtype)
+    o = jax.lax.dot_general(h, w2_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) \
+        + b2_ref[:][None, :]
+    out_ref[:] = (o + xf).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rows_per_block", "interpret"))
+def mlp_block_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                     rows_per_block: int = 1024, interpret: bool = False):
+    """Fused LN + MLP + residual over (T, C) tokens.
+
+    T must be a multiple of rows_per_block (callers pass window batches
+    whose sizes are powers of two).
+    """
+    t, c = x.shape
+    hidden = w1.shape[1]
+    rb = rows_per_block
+    while t % rb != 0:
+        rb //= 2
+    assert rb >= 8, (t, rows_per_block)
+
+    def rep(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _mlp_kernel,
+        grid=(t // rb,),
+        in_specs=[
+            pl.BlockSpec((rb, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            rep((c,)), rep((c,)),
+            rep((c, hidden)), rep((hidden,)),
+            rep((hidden, c)), rep((c,)),
+        ],
+        out_specs=pl.BlockSpec((rb, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, c), x.dtype),
+        interpret=interpret,
+    )(x, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
+      w1.astype(x.dtype), b1.astype(jnp.float32),
+      w2.astype(x.dtype), b2.astype(jnp.float32))
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "g", "interpret"))
 def wmsa_pallas(qkv: jnp.ndarray, rpb: jnp.ndarray,
                 mask: jnp.ndarray | None = None, num_heads: int = 6,
