@@ -252,6 +252,70 @@ def _drop(w):  # sentinel transform: key intentionally ignored
     return None
 
 
+def fbcnn_rules_for(nb: int = 4) -> list[Rule]:
+    """Exact FBCNN rules for a given nb (block count)."""
+    rules: list[Rule] = [
+        (r"m_head\.weight", r"head/Conv_0/kernel", t_conv),
+        (r"m_head\.bias", r"head/Conv_0/bias", t_id),
+        (r"m_tail\.weight", r"tail/Conv_0/kernel", t_conv),
+        (r"m_tail\.bias", r"tail/Conv_0/bias", t_id),
+    ]
+
+    def res_pair(src, dst):
+        return [
+            (rf"{src}\.res\.0\.weight", rf"{dst}/c1/Conv_0/kernel", t_conv),
+            (rf"{src}\.res\.0\.bias", rf"{dst}/c1/Conv_0/bias", t_id),
+            (rf"{src}\.res\.2\.weight", rf"{dst}/c2/Conv_0/kernel", t_conv),
+            (rf"{src}\.res\.2\.bias", rf"{dst}/c2/Conv_0/bias", t_id),
+        ]
+
+    for k in (1, 2, 3):
+        lvl = k - 1
+        for i in range(nb):
+            rules += res_pair(rf"m_down{k}\.{i}", rf"down{lvl}_res{i}")
+        rules += [
+            (rf"m_down{k}\.{nb}\.weight",
+             rf"down{lvl}_stride/Conv_0/kernel", t_conv),
+            (rf"m_down{k}\.{nb}\.bias",
+             rf"down{lvl}_stride/Conv_0/bias", t_id),
+        ]
+    for i in range(nb):
+        rules += res_pair(rf"m_body_encoder\.{i}", rf"body_enc{i}")
+        rules += res_pair(rf"m_body_decoder\.{i}", rf"body_dec{i}")
+        rules += res_pair(rf"qf_pred\.{i}", rf"qf_pred_res{i}")
+    for name, lvl in (("m_up3", 2), ("m_up2", 1), ("m_up1", 0)):
+        rules += [
+            (rf"{name}\.0\.weight", rf"up{lvl}_t/kernel", t_convT),
+            (rf"{name}\.0\.bias", rf"up{lvl}_t/bias", t_id),
+        ]
+        for i in range(nb):
+            rules += res_pair(rf"{name}\.{i + 1}", rf"up{lvl}_qf{i}")
+    # qf predictor MLP (sequential indices after nb blocks: pool, flatten,
+    # then linears at nb+2, nb+4, nb+6)
+    for j, fc in ((2, 0), (4, 1), (6, 2)):
+        rules += [
+            (rf"qf_pred\.{nb + j}\.weight",
+             rf"qf_pred_mlp/fc{fc}/kernel", t_linear),
+            (rf"qf_pred\.{nb + j}\.bias", rf"qf_pred_mlp/fc{fc}/bias", t_id),
+        ]
+    # qf embed MLP (linears at 0, 2, 4)
+    for j, fc in ((0, 0), (2, 1), (4, 2)):
+        rules += [
+            (rf"qf_embed\.{j}\.weight", rf"qf_embed/fc{fc}/kernel", t_linear),
+            (rf"qf_embed\.{j}\.bias", rf"qf_embed/fc{fc}/bias", t_id),
+        ]
+    for lvl in (1, 2, 3):
+        rules += [
+            (rf"to_gamma_{lvl}\.0\.weight",
+             rf"to_gamma_{lvl}/fc0/kernel", t_linear),
+            (rf"to_gamma_{lvl}\.0\.bias", rf"to_gamma_{lvl}/fc0/bias", t_id),
+            (rf"to_beta_{lvl}\.0\.weight",
+             rf"to_beta_{lvl}/fc0/kernel", t_linear),
+            (rf"to_beta_{lvl}\.0\.bias", rf"to_beta_{lvl}/fc0/bias", t_id),
+        ]
+    return rules
+
+
 def restormer_rules() -> list[Rule]:
     """Reference Restormer names (restormer_arch.py) -> models/restormer.py.
 
