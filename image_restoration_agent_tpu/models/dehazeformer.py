@@ -72,17 +72,27 @@ class DFWindowAttention(nn.Module):
         ws, nh = self.window_size, self.num_heads
         nwb, n, _ = qkv.shape
         hd = self.dim // nh
-        q, k, v = jnp.split(
-            qkv.reshape(nwb, n, 3, nh, hd).transpose(2, 0, 3, 1, 4), 3, 0)
-        q, k, v = q[0], k[0], v[0]
 
-        attn = jnp.einsum("whnd,whmd->whnm", q * hd ** -0.5, k,
-                          preferred_element_type=jnp.float32)
+        # continuous relative position bias: log coords -> 2-layer MLP
         rel = jnp.asarray(_log_relative_positions(ws))
         bias = nn.Dense(256, name="meta_fc1")(rel)
         bias = nn.relu(bias)
         bias = nn.Dense(nh, name="meta_fc2")(bias)  # (N, N, nH)
-        attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
+        bias_hnn = bias.transpose(2, 0, 1)
+
+        if jax.default_backend() == "tpu":
+            from ..ops.pallas_attention import wmsa_pallas
+
+            g = next(gg for gg in (8, 4, 2, 1) if nwb % gg == 0)
+            return wmsa_pallas(qkv, bias_hnn.astype(jnp.float32), None,
+                               num_heads=nh, g=g)
+
+        q, k, v = jnp.split(
+            qkv.reshape(nwb, n, 3, nh, hd).transpose(2, 0, 3, 1, 4), 3, 0)
+        q, k, v = q[0], k[0], v[0]
+        attn = jnp.einsum("whnd,whmd->whnm", q * hd ** -0.5, k,
+                          preferred_element_type=jnp.float32)
+        attn = attn + bias_hnn[None].astype(attn.dtype)
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("whnm,whmd->whnd", attn, v.astype(attn.dtype),
                          preferred_element_type=jnp.float32)
