@@ -383,3 +383,99 @@ def convert_with_drops(state: dict, rules: list[Rule], template=None,
     filtered = {k: v for k, v in state.items()
                 if not any(re.fullmatch(p, k) for p in drop_pats)}
     return convert_state_dict(filtered, kept_rules, template, strict)
+
+
+def mprnet_rules() -> list[Rule]:
+    """Reference MPRNet names (MPRNet.py) -> models/mprnet.py.
+
+    STATUS: scaffolding, NOT yet validated end-to-end (docs/NEXT_STEPS.md).
+    Known gap: the reference shares a single nn.PReLU instance across every
+    CAB (MPRNet.py:247 ``act=nn.PReLU()``), so its one alpha must fan out
+    to all of our per-block ``act/alpha`` params — the 1:1 rule engine
+    needs a fan-out pass for that (use strict=False + a post-fill until
+    then). Conv/CA mappings below follow the verified conventions of the
+    other rule sets.
+    """
+    def cab(src: str, dst: str) -> list[Rule]:
+        return [
+            (rf"{src}\.body\.0\.weight", rf"{dst}/c1/Conv_0/kernel", t_conv),
+            (rf"{src}\.body\.2\.weight", rf"{dst}/c2/Conv_0/kernel", t_conv),
+            (rf"{src}\.CA\.conv_du\.0\.weight",
+             rf"{dst}/ca/du1/Conv_0/kernel", t_conv),
+            (rf"{src}\.CA\.conv_du\.0\.bias",
+             rf"{dst}/ca/du1/Conv_0/bias", t_id),
+            (rf"{src}\.CA\.conv_du\.2\.weight",
+             rf"{dst}/ca/du2/Conv_0/kernel", t_conv),
+            (rf"{src}\.CA\.conv_du\.2\.bias",
+             rf"{dst}/ca/du2/Conv_0/bias", t_id),
+        ]
+
+    rules: list[Rule] = []
+    # shallow feature stacks: Sequential[conv, CAB]
+    for k in (1, 2, 3):
+        rules += [(rf"shallow_feat{k}\.0\.weight",
+                   rf"shallow_feat{k}_conv/Conv_0/kernel", t_conv)]
+        rules += cab(rf"shallow_feat{k}\.1", rf"shallow_feat{k}_cab")
+    # stage encoders/decoders
+    for st in ("stage1_encoder", "stage2_encoder"):
+        for lvl in (0, 1, 2):
+            torch_lvl = lvl + 1
+            rules += cab(rf"{st}\.encoder_level{torch_lvl}\.(\d+)",
+                         rf"{st}/enc{lvl}_cab\1")
+            rules += [
+                (rf"{st}\.csff_enc{torch_lvl}\.weight",
+                 rf"{st}/csff_enc{lvl}/Conv_0/kernel", t_conv),
+                (rf"{st}\.csff_dec{torch_lvl}\.weight",
+                 rf"{st}/csff_dec{lvl}/Conv_0/kernel", t_conv),
+            ]
+        rules += [
+            (rf"{st}\.down12\.down\.1\.weight",
+             rf"{st}/down0/conv/Conv_0/kernel", t_conv),
+            (rf"{st}\.down23\.down\.1\.weight",
+             rf"{st}/down1/conv/Conv_0/kernel", t_conv),
+        ]
+    for st in ("stage1_decoder", "stage2_decoder"):
+        for lvl, ours in ((1, 0), (2, 1), (3, 2)):
+            rules += cab(rf"{st}\.decoder_level{lvl}\.(\d+)",
+                         rf"{st}/dec{ours}_cab\1")
+        rules += cab(rf"{st}\.skip_attn1", rf"{st}/skip_attn1")
+        rules += cab(rf"{st}\.skip_attn2", rf"{st}/skip_attn2")
+        rules += [
+            (rf"{st}\.up21\.up\.1\.weight",
+             rf"{st}/up21/conv/Conv_0/kernel", t_conv),
+            (rf"{st}\.up32\.up\.1\.weight",
+             rf"{st}/up32/conv/Conv_0/kernel", t_conv),
+        ]
+    # SAMs and concats/tail
+    for sam in ("sam12", "sam23"):
+        for i in (1, 2, 3):
+            rules.append((rf"{sam}\.conv{i}\.weight",
+                          rf"{sam}/conv{i}/Conv_0/kernel", t_conv))
+    rules += [
+        (r"concat12\.weight", r"concat12/Conv_0/kernel", t_conv),
+        (r"concat23\.weight", r"concat23/Conv_0/kernel", t_conv),
+        (r"tail\.weight", r"tail/Conv_0/kernel", t_conv),
+    ]
+    # ORSNet
+    orb = r"stage3_orsnet\.orb(\d)"
+    rules += cab(rf"{orb}\.body\.(\d+)", r"stage3_orsnet/orb\1_cab\2")
+    rules += [
+        (rf"{orb}\.body\.(\d+)\.weight",
+         r"stage3_orsnet/orb\1_conv/Conv_0/kernel", t_conv),
+    ]
+    for name in ("conv_enc1", "conv_enc2", "conv_enc3", "conv_dec1",
+                 "conv_dec2", "conv_dec3"):
+        rules.append((rf"stage3_orsnet\.{name}\.weight",
+                      rf"stage3_orsnet/{name}/Conv_0/kernel", t_conv))
+    for t_name, ours in (("up_enc1", "up_enc1"), ("up_dec1", "up_dec1")):
+        rules.append((rf"stage3_orsnet\.{t_name}\.up\.1\.weight",
+                      rf"stage3_orsnet/{ours}/conv/Conv_0/kernel", t_conv))
+    for t_name, a, b in (("up_enc2", "up_enc2a", "up_enc2b"),
+                         ("up_dec2", "up_dec2a", "up_dec2b")):
+        rules += [
+            (rf"stage3_orsnet\.{t_name}\.0\.up\.1\.weight",
+             rf"stage3_orsnet/{a}/conv/Conv_0/kernel", t_conv),
+            (rf"stage3_orsnet\.{t_name}\.1\.up\.1\.weight",
+             rf"stage3_orsnet/{b}/conv/Conv_0/kernel", t_conv),
+        ]
+    return rules
