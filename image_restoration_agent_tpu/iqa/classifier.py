@@ -102,17 +102,19 @@ class SeverityEvaluator:
 
     @classmethod
     def default(cls):
-        """Trained checkpoint if shipped (weights/degradation_classifier),
-        else random init."""
+        """Best shipped checkpoint (weights/degradation_classifier_v2 at
+        224px, then the 160px v1), else random init."""
         from pathlib import Path
 
-        ckpt = Path(__file__).resolve().parents[1] / "weights" / \
-            "degradation_classifier"
-        if ckpt.exists():
-            try:
-                return cls.from_checkpoint(ckpt)
-            except Exception:
-                pass
+        weights = Path(__file__).resolve().parents[1] / "weights"
+        for name, size in (("degradation_classifier_v2", 224),
+                           ("degradation_classifier", 160)):
+            ckpt = weights / name
+            if ckpt.exists():
+                try:
+                    return cls.from_checkpoint(ckpt, input_size=size)
+                except Exception:
+                    pass
         return cls()
 
     def logits(self, img: np.ndarray) -> np.ndarray:

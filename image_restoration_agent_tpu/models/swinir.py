@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.pallas_attention import (mlp_block_pallas, wmsa_block_pallas,
-                                    wmsa_pallas)
+from ..ops.pallas_attention import (mlp_block_pallas, swin_strip_pallas,
+                                    wmsa_block_pallas, wmsa_pallas)
 from ..ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
 from ..ops.window_attention import (
     relative_position_index,
@@ -88,14 +88,18 @@ class WindowAttentionLayer(nn.Module):
                                  nn.initializers.lecun_normal(), (c, c))
         proj_b = self.param("proj_bias_p", nn.initializers.zeros, (c,))
 
-        nwb = xw.shape[0]
-        nw = 1 if mask is None else mask.shape[0]
-        g = next(gg for gg in (8, 4, 2, 1)
-                 if nwb % gg == 0 and nw % gg == 0)
-
         if impl == "pallas_block":
             idx = jnp.asarray(relative_position_index(ws).reshape(-1))
             rpb = table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
+            if xw.ndim == 4:  # (B, H, W, C): strip kernel, no partition
+                return swin_strip_pallas(
+                    xw, norm_scale, norm_bias, qkv_kernel, qkv_b,
+                    proj_kernel, proj_b, rpb, mask,
+                    num_heads=self.num_heads, ws=ws)
+            nwb = xw.shape[0]
+            nw = 1 if mask is None else mask.shape[0]
+            g = next(gg for gg in (8, 4, 2, 1)
+                     if nwb % gg == 0 and nw % gg == 0)
             return wmsa_block_pallas(
                 xw, norm_scale, norm_bias, qkv_kernel, qkv_b,
                 proj_kernel, proj_b, rpb, mask, num_heads=self.num_heads,
@@ -111,6 +115,10 @@ class WindowAttentionLayer(nn.Module):
         if impl == "pallas":
             idx = jnp.asarray(relative_position_index(ws).reshape(-1))
             rpb = table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
+            nwb = xw.shape[0]
+            nw = 1 if mask is None else mask.shape[0]
+            g = next(gg for gg in (8, 4, 2, 1)
+                     if nwb % gg == 0 and nw % gg == 0)
             out = wmsa_pallas(qkv, rpb.astype(jnp.float32), mask,
                               num_heads=self.num_heads, g=g)
         else:
@@ -143,11 +151,17 @@ class SwinBlock(nn.Module):
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
         mask_np = shift_attention_mask(h, w, ws, shift)
         mask = None if mask_np is None else jnp.asarray(mask_np)
-        yw = window_partition(y, ws).reshape(-1, ws * ws, c)
-        yw = WindowAttentionLayer(self.dim, ws, self.num_heads,
-                                  attention_impl=self.attention_impl,
-                                  name="attn")(yw, mask)
-        y = window_reverse(yw.reshape(-1, ws, ws, c), ws, h, w)
+        attn = WindowAttentionLayer(self.dim, ws, self.num_heads,
+                                    attention_impl=self.attention_impl,
+                                    name="attn")
+        if _resolve_impl(self.attention_impl) == "pallas_block" \
+                and h % ws == 0 and w % ws == 0:
+            # strip kernel: windowizing happens in VMEM, no partition copy
+            y = attn(y, mask)
+        else:
+            yw = window_partition(y, ws).reshape(-1, ws * ws, c)
+            yw = attn(yw, mask)
+            y = window_reverse(yw.reshape(-1, ws, ws, c), ws, h, w)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         x = y

@@ -228,6 +228,167 @@ def _erf_approx(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+def _strip_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                  bproj_ref, rpb_ref, hmask_ref, wmask_ref, out_ref,
+                  xw_ref, qkv_ref, attn_ref, lg_ref, *,
+                  num_heads, head_dim, nwin, ws, pair, use_wmask, eps=1e-5):
+    """Strip-I/O variant of the fused Swin half-block: reads a (ws, W, C)
+    window-row strip straight from the NHWC tensor, windowizes in VMEM,
+    runs LN -> qkv -> attention -> proj -> +residual, and writes the strip
+    back — no HBM-materialized window layout at all."""
+    c = num_heads * head_dim
+    n = ws * ws
+    scale = head_dim ** -0.5
+
+    # windowize into scratch (nwin*n, C)
+    for w in range(nwin):
+        slab = x_ref[0, 0, :, w * ws:(w + 1) * ws, :]
+        xw_ref[w * n:(w + 1) * n, :] = slab.reshape(n, c)
+
+    # LN all windows
+    xf = xw_ref[:].astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = (y * lnw_ref[:][None, :] + lnb_ref[:][None, :]).astype(xw_ref.dtype)
+
+    # one qkv matmul for the whole strip
+    qkv_ref[:] = (jax.lax.dot_general(
+        y, wqkv_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + bqkv_ref[:][None, :]).astype(qkv_ref.dtype)
+
+    # staged window attention
+    for w0 in range(0, nwin, pair):
+        wins = range(w0, min(w0 + pair, nwin))
+        for wi, w in enumerate(wins):
+            q = qkv_ref[w * n:(w + 1) * n, :c]
+            k = qkv_ref[w * n:(w + 1) * n, c:2 * c]
+            for h in range(num_heads):
+                qm = q * hmask_ref[h][None, :]
+                lg = jax.lax.dot_general(
+                    qm, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                lg = lg + rpb_ref[h]
+                if use_wmask:
+                    lg = lg + wmask_ref[w]
+                lg_ref[(wi * num_heads + h) * n:
+                       (wi * num_heads + h + 1) * n, :] = lg
+        allg = lg_ref[: len(list(wins)) * num_heads * n, :]
+        m = jnp.max(allg, axis=-1, keepdims=True)
+        p = jnp.exp(allg - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(qkv_ref.dtype)
+        for wi, w in enumerate(wins):
+            v = qkv_ref[w * n:(w + 1) * n, 2 * c:]
+            acc = jnp.zeros((n, c), jnp.float32)
+            for h in range(num_heads):
+                vm = v * hmask_ref[h][None, :]
+                acc = acc + jax.lax.dot_general(
+                    p[(wi * num_heads + h) * n:
+                      (wi * num_heads + h + 1) * n, :], vm,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            attn_ref[w * n:(w + 1) * n, :] = acc.astype(attn_ref.dtype)
+
+    # projection + residual, then de-windowize back to the strip
+    proj = jax.lax.dot_general(
+        attn_ref[:], wproj_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bproj_ref[:][None, :]
+    res = (proj + xw_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+    for w in range(nwin):
+        out_ref[0, 0, :, w * ws:(w + 1) * ws, :] = \
+            res[w * n:(w + 1) * n, :].reshape(ws, ws, c)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "ws", "interpret"))
+def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                      rpb, mask=None, num_heads: int = 6, ws: int = 8,
+                      interpret: bool = False):
+    """Fused Swin attention half-block over (B, H, W, C) directly.
+
+    Equivalent to window_partition -> wmsa_block_pallas -> window_reverse,
+    with the windowizing done in VMEM (one grid step per window-row strip).
+    H and W must be multiples of ws. ``mask`` is the (nW, N, N) shift mask
+    for the full (H, W) canvas or None; the caller still rolls for shifted
+    blocks.
+    """
+    b, h, w, c = x.shape
+    assert h % ws == 0 and w % ws == 0
+    nwin = w // ws
+    n = ws * ws
+    hd = c // num_heads
+    strips = b * (h // ws)
+    pair = 2 if nwin % 2 == 0 else 1
+
+    head_mask = np.zeros((num_heads, c), np.float32)
+    for hh in range(num_heads):
+        head_mask[hh, hh * hd:(hh + 1) * hd] = 1.0
+    hmask = jnp.asarray(head_mask, dtype=x.dtype)
+
+    use_wmask = mask is not None
+    rows_per_img = h // ws
+    if use_wmask:
+        mask4 = mask.reshape(rows_per_img, nwin, n, n).astype(jnp.float32)
+        wmask_spec = pl.BlockSpec(
+            (1, nwin, n, n), lambda i: (i % rows_per_img, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+
+        def wm_index(r):  # kernel sees (1, nwin, n, n); drop leading dim
+            return r
+        wmask_arg = mask4
+    else:
+        wmask_arg = jnp.zeros((1, 1, n, n), jnp.float32)
+        wmask_spec = pl.BlockSpec((1, 1, n, n), lambda i: (0, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+
+    xs = x.reshape(strips, 1, ws, w, c)
+
+    def kernel(x_ref, lnw, lnb, wq, bq, wp, bp, rpb_ref, hm, wm, out_ref,
+               xw_s, qkv_s, attn_s, lg_s):
+        _strip_kernel(x_ref, lnw, lnb, wq, bq, wp, bp, rpb_ref, hm,
+                      wm[0], out_ref, xw_s, qkv_s, attn_s, lg_s,
+                      num_heads=num_heads, head_dim=hd, nwin=nwin, ws=ws,
+                      pair=pair, use_wmask=use_wmask)
+
+    def rep(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(strips,),
+        in_specs=[
+            pl.BlockSpec((1, 1, ws, w, c), lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            rep((c,)), rep((c,)),
+            rep((c, 3 * c)), rep((3 * c,)),
+            rep((c, c)), rep((c,)),
+            rep((num_heads, n, n)),
+            rep((num_heads, c)),
+            wmask_spec,
+        ],
+        out_specs=pl.BlockSpec((1, 1, ws, w, c), lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((strips, 1, ws, w, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nwin * n, c), x.dtype),
+            pltpu.VMEM((nwin * n, 3 * c), x.dtype),
+            pltpu.VMEM((nwin * n, c), x.dtype),
+            pltpu.VMEM((pair * num_heads * n, n), jnp.float32),
+        ],
+        # At W=256/C=180 the strip + scratches total ~17.4MB of scoped
+        # VMEM, just past the 16MB default limit; v5e has headroom.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024),
+        interpret=interpret,
+    )(xs, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
+      wqkv.astype(x.dtype), bqkv.astype(jnp.float32),
+      wproj.astype(x.dtype), bproj.astype(jnp.float32),
+      rpb.astype(jnp.float32), hmask, wmask_arg)
+    return out.reshape(b, h, w, c)
+
+
 def _mlp_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 out_ref, *, eps=1e-5):
     """Fused transformer MLP half-block: LN -> fc1 -> exact GELU -> fc2 ->
