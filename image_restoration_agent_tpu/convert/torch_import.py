@@ -54,6 +54,11 @@ def t_squeeze(w: np.ndarray) -> np.ndarray:
     return np.reshape(w, (-1,))
 
 
+def t_scalar(w: np.ndarray) -> np.ndarray:
+    """(1,) torch tensor (e.g. a shared nn.PReLU alpha) -> () scalar."""
+    return np.reshape(w, ())
+
+
 # ---------------- loading ----------------
 
 def load_torch_checkpoint(path: str | Path,
@@ -388,26 +393,22 @@ def convert_with_drops(state: dict, rules: list[Rule], template=None,
 def mprnet_rules() -> list[Rule]:
     """Reference MPRNet names (MPRNet.py) -> models/mprnet.py.
 
-    STATUS: scaffolding, NOT yet validated end-to-end (docs/NEXT_STEPS.md).
-    Known gap: the reference shares a single nn.PReLU instance across every
-    CAB (MPRNet.py:247 ``act=nn.PReLU()``), so its one alpha must fan out
-    to all of our per-block ``act/alpha`` params — the 1:1 rule engine
-    needs a fan-out pass for that (use strict=False + a post-fill until
-    then). Conv/CA mappings below follow the verified conventions of the
-    other rule sets.
+    The reference shares one nn.PReLU instance across every CAB
+    (MPRNet.py:239 ``act=nn.PReLU()``); torch's state_dict re-emits the
+    same (1,)-tensor under each parent (``<cab>.body.1.weight``), so the
+    1:1 rule engine maps each occurrence onto our per-block ``act/alpha``
+    directly — no fan-out pass needed. bias=False throughout (the
+    constructor default all three reference variants use).
     """
     def cab(src: str, dst: str) -> list[Rule]:
         return [
             (rf"{src}\.body\.0\.weight", rf"{dst}/c1/Conv_0/kernel", t_conv),
+            (rf"{src}\.body\.1\.weight", rf"{dst}/act/alpha", t_scalar),
             (rf"{src}\.body\.2\.weight", rf"{dst}/c2/Conv_0/kernel", t_conv),
             (rf"{src}\.CA\.conv_du\.0\.weight",
              rf"{dst}/ca/du1/Conv_0/kernel", t_conv),
-            (rf"{src}\.CA\.conv_du\.0\.bias",
-             rf"{dst}/ca/du1/Conv_0/bias", t_id),
             (rf"{src}\.CA\.conv_du\.2\.weight",
              rf"{dst}/ca/du2/Conv_0/kernel", t_conv),
-            (rf"{src}\.CA\.conv_du\.2\.bias",
-             rf"{dst}/ca/du2/Conv_0/bias", t_id),
         ]
 
     rules: list[Rule] = []

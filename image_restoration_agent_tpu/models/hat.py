@@ -224,7 +224,8 @@ class HAT(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        mean = jnp.asarray(RGB_MEAN).reshape(1, 1, 1, 3)
+        # dtype-matched to avoid promoting the net to f32 (see swinir.py)
+        mean = jnp.asarray(RGB_MEAN, dtype=x.dtype).reshape(1, 1, 1, 3)
         x = (x - mean) * self.img_range
 
         feat = Conv(self.embed_dim, kernel=3, name="conv_first")(x)

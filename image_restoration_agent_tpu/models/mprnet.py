@@ -37,9 +37,11 @@ class CALayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         y = jnp.mean(x, axis=(1, 2), keepdims=True)
-        y = Conv(self.channel // self.reduction, kernel=1, name="du1")(y)
+        # bias=False throughout (MPRNet.py:239 constructor default)
+        y = Conv(self.channel // self.reduction, kernel=1, use_bias=False,
+                 name="du1")(y)
         y = nn.relu(y)
-        y = Conv(self.channel, kernel=1, name="du2")(y)
+        y = Conv(self.channel, kernel=1, use_bias=False, name="du2")(y)
         return x * nn.sigmoid(y)
 
 
@@ -72,9 +74,12 @@ class SAM(nn.Module):
 
 
 def _bilinear_resize(x, scale: float):
+    # torch nn.Upsample(bilinear, align_corners=False) does NOT antialias
+    # on downscale; at scale 0.5 it reduces to plain half-pixel sampling.
     b, h, w, c = x.shape
     nh, nw = int(h * scale), int(w * scale)
-    return jax.image.resize(x, (b, nh, nw, c), method="bilinear")
+    return jax.image.resize(x, (b, nh, nw, c), method="bilinear",
+                            antialias=False)
 
 
 class DownSample(nn.Module):

@@ -233,7 +233,9 @@ class SwinIR(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        mean = jnp.asarray(RGB_MEAN).reshape(1, 1, 1, 3)
+        # dtype-matched: an f32 constant here would silently promote the
+        # whole network to f32 under bf16 inference
+        mean = jnp.asarray(RGB_MEAN, dtype=x.dtype).reshape(1, 1, 1, 3)
         if self.img_channels == 3:
             x = (x - mean) * self.img_range
         inp = x
