@@ -480,3 +480,84 @@ def mprnet_rules() -> list[Rule]:
              rf"stage3_orsnet/{b}/conv/Conv_0/kernel", t_conv),
         ]
     return rules
+
+
+def dehazeformer_rules() -> list[Rule]:
+    """Reference DehazeFormer names (models/dehazeformer.py) ->
+    models/dehazeformer.py here.
+
+    torch layer1..5 are our layer0..4; RLN affine (1,C,1,1) tensors
+    flatten to (C,); the window-attention CPB MLP (``attn.attn.meta``)
+    maps to meta_fc1/meta_fc2 Linears; ``relative_positions`` buffers are
+    recomputed, not converted.
+    """
+    rules: list[Rule] = []
+    rules += [
+        (r"patch_embed\.proj\.weight", r"patch_embed/Conv_0/kernel", t_conv),
+        (r"patch_embed\.proj\.bias", r"patch_embed/Conv_0/bias", t_id),
+        (r"patch_unembed\.proj\.0\.weight", r"patch_unembed/Conv_0/kernel",
+         t_conv),
+        (r"patch_unembed\.proj\.0\.bias", r"patch_unembed/Conv_0/bias", t_id),
+    ]
+    for k in (1, 2):
+        rules += [
+            (rf"patch_merge{k}\.proj\.weight",
+             rf"patch_merge{k}/Conv_0/kernel", t_conv),
+            (rf"patch_merge{k}\.proj\.bias",
+             rf"patch_merge{k}/Conv_0/bias", t_id),
+            (rf"patch_split{k}\.proj\.0\.weight",
+             rf"patch_split{k}/Conv_0/kernel", t_conv),
+            (rf"patch_split{k}\.proj\.0\.bias",
+             rf"patch_split{k}/Conv_0/bias", t_id),
+            (rf"skip{k}\.weight", rf"skip{k}/Conv_0/kernel", t_conv),
+            (rf"skip{k}\.bias", rf"skip{k}/Conv_0/bias", t_id),
+            (rf"fusion{k}\.mlp\.0\.weight",
+             rf"fusion{k}/mlp1/Conv_0/kernel", t_conv),
+            (rf"fusion{k}\.mlp\.2\.weight",
+             rf"fusion{k}/mlp2/Conv_0/kernel", t_conv),
+        ]
+    for tl in (1, 2, 3, 4, 5):
+        S = rf"layer{tl}\.blocks\.(\d+)"
+        D = rf"layer{tl - 1}_blk\1"
+        rules += [
+            (rf"{S}\.attn\.conv\.weight", rf"{D}/attn/conv/Conv_0/kernel",
+             t_dwconv),
+            (rf"{S}\.attn\.conv\.bias", rf"{D}/attn/conv/Conv_0/bias", t_id),
+            (rf"{S}\.attn\.V\.weight", rf"{D}/attn/V/Conv_0/kernel", t_conv),
+            (rf"{S}\.attn\.V\.bias", rf"{D}/attn/V/Conv_0/bias", t_id),
+            (rf"{S}\.attn\.QK\.weight", rf"{D}/attn/QK/Conv_0/kernel",
+             t_conv),
+            (rf"{S}\.attn\.QK\.bias", rf"{D}/attn/QK/Conv_0/bias", t_id),
+            (rf"{S}\.attn\.proj\.weight", rf"{D}/attn/proj/Conv_0/kernel",
+             t_conv),
+            (rf"{S}\.attn\.proj\.bias", rf"{D}/attn/proj/Conv_0/bias", t_id),
+            (rf"{S}\.attn\.attn\.meta\.0\.weight",
+             rf"{D}/attn/attn/meta_fc1/kernel", t_linear),
+            (rf"{S}\.attn\.attn\.meta\.0\.bias",
+             rf"{D}/attn/attn/meta_fc1/bias", t_id),
+            (rf"{S}\.attn\.attn\.meta\.2\.weight",
+             rf"{D}/attn/attn/meta_fc2/kernel", t_linear),
+            (rf"{S}\.attn\.attn\.meta\.2\.bias",
+             rf"{D}/attn/attn/meta_fc2/bias", t_id),
+            (rf"{S}\.attn\.attn\.relative_positions", "", t_id),
+            (rf"{S}\.mlp\.mlp\.0\.weight", rf"{D}/mlp_fc1/Conv_0/kernel",
+             t_conv),
+            (rf"{S}\.mlp\.mlp\.0\.bias", rf"{D}/mlp_fc1/Conv_0/bias", t_id),
+            (rf"{S}\.mlp\.mlp\.2\.weight", rf"{D}/mlp_fc2/Conv_0/kernel",
+             t_conv),
+            (rf"{S}\.mlp\.mlp\.2\.bias", rf"{D}/mlp_fc2/Conv_0/bias", t_id),
+        ]
+        for nrm in ("norm1", "norm2"):
+            rules += [
+                (rf"{S}\.{nrm}\.weight", rf"{D}/{nrm}/weight", t_squeeze),
+                (rf"{S}\.{nrm}\.bias", rf"{D}/{nrm}/bias", t_squeeze),
+                (rf"{S}\.{nrm}\.meta1\.weight",
+                 rf"{D}/{nrm}/meta1/Conv_0/kernel", t_conv),
+                (rf"{S}\.{nrm}\.meta1\.bias",
+                 rf"{D}/{nrm}/meta1/Conv_0/bias", t_id),
+                (rf"{S}\.{nrm}\.meta2\.weight",
+                 rf"{D}/{nrm}/meta2/Conv_0/kernel", t_conv),
+                (rf"{S}\.{nrm}\.meta2\.bias",
+                 rf"{D}/{nrm}/meta2/Conv_0/bias", t_id),
+            ]
+    return rules

@@ -144,7 +144,7 @@ class DFAttention(nn.Module):
                 cv = ConvBranch(c, name="conv")(v)
                 out = Conv(c, kernel=1, name="proj")(cv + out)
             elif self.conv_type == "DWConv":
-                cv = DWConv(kernel=5, name="conv")(_reflect_dw_pad_ok(v))
+                cv = RConv(c, kernel=5, groups=c, name="conv")(v)
                 out = Conv(c, kernel=1, name="proj")(cv + out)
             else:
                 out = Conv(c, kernel=1, name="proj")(out)
@@ -153,16 +153,28 @@ class DFAttention(nn.Module):
         if self.conv_type == "Conv":
             return ConvBranch(c, name="conv")(x)
         # DWConv without attention
-        cv = DWConv(kernel=5, name="conv")(v)
+        cv = RConv(c, kernel=5, groups=c, name="conv")(v)
         return Conv(c, kernel=1, name="proj")(cv)
 
 
-def _reflect_dw_pad_ok(x):
-    # flax Conv pads with zeros; the reference uses reflect padding for the
-    # 5x5 depthwise conv. Behavior difference only within 2px of the border;
-    # we keep zero pad here (tile overlap >= 2px absorbs it) — documented
-    # divergence.
-    return x
+class RConv(nn.Module):
+    """Conv with reflect padding (the reference uses padding_mode='reflect'
+    for every spatial conv — dehazeformer.py:157-163,322,340). Submodule
+    layout matches common.Conv (<name>/Conv_0/...) so conversion rules are
+    identical."""
+
+    features: int
+    kernel: int = 3
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        p = (self.kernel - 1) // 2
+        if p:
+            x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+        return nn.Conv(self.features, (self.kernel, self.kernel),
+                       padding="VALID",
+                       feature_group_count=self.groups)(x)
 
 
 class ConvBranch(nn.Module):
@@ -170,9 +182,9 @@ class ConvBranch(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = Conv(self.dim, kernel=3, name="c1")(x)
+        y = RConv(self.dim, kernel=3, name="c1")(x)
         y = nn.relu(y)
-        return Conv(self.dim, kernel=3, name="c2")(y)
+        return RConv(self.dim, kernel=3, name="c2")(y)
 
 
 class DFBlock(nn.Module):
@@ -221,7 +233,8 @@ class SKFusion(nn.Module):
         a = Conv(self.dim * self.height, kernel=1, use_bias=False,
                  name="mlp2")(a)
         a = a.reshape(a.shape[0], 1, 1, self.height, self.dim)
-        a = jax.nn.softmax(a, axis=-3).transpose(0, 3, 1, 2, 4)
+        # softmax over the height (branch) axis — dehazeformer.py:373
+        a = jax.nn.softmax(a, axis=-2).transpose(0, 3, 1, 2, 4)
         return jnp.sum(stacked * a, axis=1)
 
 
@@ -257,7 +270,7 @@ class DehazeFormer(nn.Module):
         inp = x
 
         d = self.embed_dims
-        y = Conv(d[0], kernel=3, name="patch_embed")(x)
+        y = RConv(d[0], kernel=3, name="patch_embed")(x)
         y = self._layer(y, 0)
         skip1 = y
         y = Conv(d[1], kernel=2, stride=2, name="patch_merge1")(y)
@@ -277,7 +290,7 @@ class DehazeFormer(nn.Module):
         y = SKFusion(d[4], name="fusion2")(
             [y, Conv(d[0], kernel=1, name="skip1")(skip1)]) + y
         y = self._layer(y, 4)
-        feat = Conv(self.out_chans, kernel=3, name="patch_unembed")(y)
+        feat = RConv(self.out_chans, kernel=3, name="patch_unembed")(y)
 
         k, bias = feat[..., :1], feat[..., 1:]
         out = k * inp - bias + inp

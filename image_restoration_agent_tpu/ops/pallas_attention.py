@@ -228,14 +228,23 @@ def _erf_approx(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _strip_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
-                  bproj_ref, rpb_ref, hmask_ref, wmask_ref, out_ref,
-                  xw_ref, qkv_ref, attn_ref, lg_ref, *,
-                  num_heads, head_dim, nwin, ws, pair, use_wmask, eps=1e-5):
+def _strip_kernel(x_ref, lnw_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
+                  bq_ref, bk_ref, bv_ref, wproj_ref, bproj_ref,
+                  rpbt_ref, hmask_ref, wmaskt_ref, out_ref,
+                  xw_ref, q_ref, k_ref, v_ref, attn_ref, *,
+                  num_heads, head_dim, nwin, ws, use_wmask, eps=1e-5):
     """Strip-I/O variant of the fused Swin half-block: reads a (ws, W, C)
     window-row strip straight from the NHWC tensor, windowizes in VMEM,
     runs LN -> qkv -> attention -> proj -> +residual, and writes the strip
-    back — no HBM-materialized window layout at all."""
+    back — no HBM-materialized window layout at all.
+
+    Attention is head-STACKED: per window one (H*N, C) x (N, C)^T logits
+    dot (key-major, so softmax normalizes rows within each head block) and
+    one AV dot contracting the stacked (H*N) rows of both operands — the
+    orthogonal head masks make the row-block sum equal the per-head concat.
+    Two MXU dots with M/K = H*N instead of 2*H dots with M = N; measured
+    faster than the per-head loop (git history).
+    """
     c = num_heads * head_dim
     n = ws * ws
     scale = head_dim ** -0.5
@@ -252,43 +261,43 @@ def _strip_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     y = (xf - mu) * jax.lax.rsqrt(var + eps)
     y = (y * lnw_ref[:][None, :] + lnb_ref[:][None, :]).astype(xw_ref.dtype)
 
-    # one qkv matmul for the whole strip
-    qkv_ref[:] = (jax.lax.dot_general(
-        y, wqkv_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-        + bqkv_ref[:][None, :]).astype(qkv_ref.dtype)
+    # separate q/k/v projections for the whole strip: three aligned
+    # (nwin*N, C) scratches — no unaligned 3C column slicing per window
+    for dst, w_ref, b_ref in ((q_ref, wq_ref, bq_ref),
+                              (k_ref, wk_ref, bk_ref),
+                              (v_ref, wv_ref, bv_ref)):
+        dst[:] = (jax.lax.dot_general(
+            y, w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            + b_ref[:][None, :]).astype(dst.dtype)
 
-    # staged window attention
-    for w0 in range(0, nwin, pair):
-        wins = range(w0, min(w0 + pair, nwin))
-        for wi, w in enumerate(wins):
-            q = qkv_ref[w * n:(w + 1) * n, :c]
-            k = qkv_ref[w * n:(w + 1) * n, c:2 * c]
-            for h in range(num_heads):
-                qm = q * hmask_ref[h][None, :]
-                lg = jax.lax.dot_general(
-                    qm, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
-                lg = lg + rpb_ref[h]
-                if use_wmask:
-                    lg = lg + wmask_ref[w]
-                lg_ref[(wi * num_heads + h) * n:
-                       (wi * num_heads + h + 1) * n, :] = lg
-        allg = lg_ref[: len(list(wins)) * num_heads * n, :]
-        m = jnp.max(allg, axis=-1, keepdims=True)
-        p = jnp.exp(allg - m)
-        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(qkv_ref.dtype)
-        for wi, w in enumerate(wins):
-            v = qkv_ref[w * n:(w + 1) * n, 2 * c:]
-            acc = jnp.zeros((n, c), jnp.float32)
-            for h in range(num_heads):
-                vm = v * hmask_ref[h][None, :]
-                acc = acc + jax.lax.dot_general(
-                    p[(wi * num_heads + h) * n:
-                      (wi * num_heads + h + 1) * n, :], vm,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            attn_ref[w * n:(w + 1) * n, :] = acc.astype(attn_ref.dtype)
+    for w in range(nwin):
+        q = q_ref[w * n:(w + 1) * n, :]
+        k = k_ref[w * n:(w + 1) * n, :]
+        v = v_ref[w * n:(w + 1) * n, :]
+        km = jnp.concatenate(
+            [k * hmask_ref[h][None, :] for h in range(num_heads)], axis=0)
+        # key-major logits for all heads at once: lgt[h*N+j, i]
+        lgt = jax.lax.dot_general(
+            km, q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        lgt = lgt + rpbt_ref[:]
+        # softmax over keys = over rows within each head block
+        pts = []
+        for h in range(num_heads):
+            blk = lgt[h * n:(h + 1) * n, :]
+            if use_wmask:
+                blk = blk + wmaskt_ref[w]
+            mx = jnp.max(blk, axis=0, keepdims=True)
+            e = jnp.exp(blk - mx)
+            pts.append(e / jnp.sum(e, axis=0, keepdims=True))
+        pt = jnp.concatenate(pts, axis=0).astype(v.dtype)  # (H*N, N)
+        vm = jnp.concatenate(
+            [v * hmask_ref[h][None, :] for h in range(num_heads)], axis=0)
+        out_w = jax.lax.dot_general(
+            pt, vm, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (N, C) = sum of heads
+        attn_ref[w * n:(w + 1) * n, :] = out_w.astype(attn_ref.dtype)
 
     # projection + residual, then de-windowize back to the strip
     proj = jax.lax.dot_general(
@@ -318,37 +327,41 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     n = ws * ws
     hd = c // num_heads
     strips = b * (h // ws)
-    pair = 2 if nwin % 2 == 0 else 1
 
     head_mask = np.zeros((num_heads, c), np.float32)
     for hh in range(num_heads):
         head_mask[hh, hh * hd:(hh + 1) * hd] = 1.0
     hmask = jnp.asarray(head_mask, dtype=x.dtype)
 
+    # key-major (transposed) rel-pos bias: rpbt[h*N+j, i] = rpb[h, i, j]
+    rpbt = jnp.transpose(rpb.astype(jnp.float32), (0, 2, 1)) \
+        .reshape(num_heads * n, n)
+
     use_wmask = mask is not None
     rows_per_img = h // ws
     if use_wmask:
-        mask4 = mask.reshape(rows_per_img, nwin, n, n).astype(jnp.float32)
+        maskt = jnp.transpose(mask.astype(jnp.float32), (0, 2, 1))
+        maskt4 = maskt.reshape(rows_per_img, nwin, n, n)
         wmask_spec = pl.BlockSpec(
             (1, nwin, n, n), lambda i: (i % rows_per_img, 0, 0, 0),
             memory_space=pltpu.VMEM)
-
-        def wm_index(r):  # kernel sees (1, nwin, n, n); drop leading dim
-            return r
-        wmask_arg = mask4
+        wmask_arg = maskt4
     else:
         wmask_arg = jnp.zeros((1, 1, n, n), jnp.float32)
         wmask_spec = pl.BlockSpec((1, 1, n, n), lambda i: (0, 0, 0, 0),
                                   memory_space=pltpu.VMEM)
 
     xs = x.reshape(strips, 1, ws, w, c)
+    wqkv_x = wqkv.astype(x.dtype)
+    bqkv_f = bqkv.astype(jnp.float32)
 
-    def kernel(x_ref, lnw, lnb, wq, bq, wp, bp, rpb_ref, hm, wm, out_ref,
-               xw_s, qkv_s, attn_s, lg_s):
-        _strip_kernel(x_ref, lnw, lnb, wq, bq, wp, bp, rpb_ref, hm,
-                      wm[0], out_ref, xw_s, qkv_s, attn_s, lg_s,
+    def kernel(x_ref, lnw, lnb, wq, wk, wv, bq, bk, bv, wp, bp,
+               rpbt_ref, hm, wmt, out_ref, xw_s, q_s, k_s, v_s, attn_s):
+        _strip_kernel(x_ref, lnw, lnb, wq, wk, wv, bq, bk, bv, wp, bp,
+                      rpbt_ref, hm, wmt[0], out_ref,
+                      xw_s, q_s, k_s, v_s, attn_s,
                       num_heads=num_heads, head_dim=hd, nwin=nwin, ws=ws,
-                      pair=pair, use_wmask=use_wmask)
+                      use_wmask=use_wmask)
 
     def rep(shape):
         nd = len(shape)
@@ -362,9 +375,10 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
             pl.BlockSpec((1, 1, ws, w, c), lambda i: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             rep((c,)), rep((c,)),
-            rep((c, 3 * c)), rep((3 * c,)),
+            rep((c, c)), rep((c, c)), rep((c, c)),
+            rep((c,)), rep((c,)), rep((c,)),
             rep((c, c)), rep((c,)),
-            rep((num_heads, n, n)),
+            rep((num_heads * n, n)),
             rep((num_heads, c)),
             wmask_spec,
         ],
@@ -373,19 +387,21 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         out_shape=jax.ShapeDtypeStruct((strips, 1, ws, w, c), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((nwin * n, c), x.dtype),
-            pltpu.VMEM((nwin * n, 3 * c), x.dtype),
             pltpu.VMEM((nwin * n, c), x.dtype),
-            pltpu.VMEM((pair * num_heads * n, n), jnp.float32),
+            pltpu.VMEM((nwin * n, c), x.dtype),
+            pltpu.VMEM((nwin * n, c), x.dtype),
+            pltpu.VMEM((nwin * n, c), x.dtype),
         ],
-        # At W=256/C=180 the strip + scratches total ~17.4MB of scoped
-        # VMEM, just past the 16MB default limit; v5e has headroom.
+        # f32 strips at W=256/C=180 push scoped VMEM past the 16MB
+        # default limit; v5e has headroom.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=40 * 1024 * 1024),
         interpret=interpret,
     )(xs, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
-      wqkv.astype(x.dtype), bqkv.astype(jnp.float32),
+      wqkv_x[:, :c], wqkv_x[:, c:2 * c], wqkv_x[:, 2 * c:],
+      bqkv_f[:c], bqkv_f[c:2 * c], bqkv_f[2 * c:],
       wproj.astype(x.dtype), bproj.astype(jnp.float32),
-      rpb.astype(jnp.float32), hmask, wmask_arg)
+      rpbt, hmask, wmask_arg)
     return out.reshape(b, h, w, c)
 
 
