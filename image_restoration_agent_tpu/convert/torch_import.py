@@ -561,3 +561,81 @@ def dehazeformer_rules() -> list[Rule]:
                  rf"{D}/{nrm}/meta2/Conv_0/bias", t_id),
             ]
     return rules
+
+
+def drbnet_rules() -> list[Rule]:
+    """Reference DRBNet_single names (models/DRBNet.py) -> models/drbnet.py.
+
+    Encoder convs are Sequential(conv, lrelu) (`.0.weight`); ResnetBlocks
+    expose `stem.0.{0,2}`; the FAC kernel heads end in a bare 1x1 conv
+    (`.2.weight`), the res heads in Sequential(conv, lrelu) (`.2.0`).
+    torch upconv{3,2,1,0}_* heads are our up{8,4,2,1}_* (named by scale).
+    """
+    rules: list[Rule] = []
+    for i in (1, 2, 3, 4):
+        for j in (1, 2, 3):
+            rules += [
+                (rf"conv{i}_{j}\.0\.weight",
+                 rf"conv{i}_{j}/Conv_0/kernel", t_conv),
+                (rf"conv{i}_{j}\.0\.bias", rf"conv{i}_{j}/Conv_0/bias", t_id),
+            ]
+
+    def res_block(src: str, dst: str) -> list[Rule]:
+        return [
+            (rf"{src}\.stem\.0\.0\.weight", rf"{dst}/c1/Conv_0/kernel",
+             t_conv),
+            (rf"{src}\.stem\.0\.0\.bias", rf"{dst}/c1/Conv_0/bias", t_id),
+            (rf"{src}\.stem\.0\.2\.weight", rf"{dst}/c2/Conv_0/kernel",
+             t_conv),
+            (rf"{src}\.stem\.0\.2\.bias", rf"{dst}/c2/Conv_0/bias", t_id),
+        ]
+
+    rules += [
+        (r"conv4_4\.0\.0\.weight", r"conv4_4_pre/c0/Conv_0/kernel", t_conv),
+        (r"conv4_4\.0\.0\.bias", r"conv4_4_pre/c0/Conv_0/bias", t_id),
+        (r"conv4_4\.3\.0\.weight", r"conv4_4_post/c0/Conv_0/kernel", t_conv),
+        (r"conv4_4\.3\.0\.bias", r"conv4_4_post/c0/Conv_0/bias", t_id),
+    ]
+    rules += res_block(r"conv4_4\.1", r"conv4_4_r1")
+    rules += res_block(r"conv4_4\.2", r"conv4_4_r2")
+
+    for lvl in (1, 2, 3):
+        rules += [
+            (rf"upconv{lvl}_u\.0\.weight", rf"upconv{lvl}_u/t/kernel",
+             t_convT),
+            (rf"upconv{lvl}_u\.0\.bias", rf"upconv{lvl}_u/t/bias", t_id),
+        ]
+        rules += res_block(rf"upconv{lvl}_1", rf"upconv{lvl}_r1")
+        rules += res_block(rf"upconv{lvl}_2", rf"upconv{lvl}_r2")
+
+    for tlvl, scale in ((3, 8), (2, 4), (1, 2), (0, 1)):
+        for i in (0, 1):
+            rules += [
+                (rf"upconv{tlvl}_kernel\.{i}\.0\.weight",
+                 rf"up{scale}_kernel/c{i}/Conv_0/kernel", t_conv),
+                (rf"upconv{tlvl}_kernel\.{i}\.0\.bias",
+                 rf"up{scale}_kernel/c{i}/Conv_0/bias", t_id),
+                (rf"upconv{tlvl}_res\.{i}\.0\.weight",
+                 rf"up{scale}_res/c{i}/Conv_0/kernel", t_conv),
+                (rf"upconv{tlvl}_res\.{i}\.0\.bias",
+                 rf"up{scale}_res/c{i}/Conv_0/bias", t_id),
+            ]
+        rules += [
+            (rf"upconv{tlvl}_kernel\.2\.weight",
+             rf"up{scale}_kernel/c2/Conv_0/kernel", t_conv),
+            (rf"upconv{tlvl}_kernel\.2\.bias",
+             rf"up{scale}_kernel/c2/Conv_0/bias", t_id),
+            (rf"upconv{tlvl}_res\.2\.0\.weight",
+             rf"up{scale}_res/c2/Conv_0/kernel", t_conv),
+            (rf"upconv{tlvl}_res\.2\.0\.bias",
+             rf"up{scale}_res/c2/Conv_0/bias", t_id),
+        ]
+    for d, scale in (("d8", 8), ("d4", 4), ("d2", 2), ("d1", 1)):
+        for i in (0, 1, 2):
+            rules += [
+                (rf"img_{d}_feature\.{i}\.0\.weight",
+                 rf"img_{d}_feature/c{i}/Conv_0/kernel", t_conv),
+                (rf"img_{d}_feature\.{i}\.0\.bias",
+                 rf"img_{d}_feature/c{i}/Conv_0/bias", t_id),
+            ]
+    return rules

@@ -78,9 +78,10 @@ class UpConv(nn.Module):
 
 
 def _area_down(x, factor):
+    # torch F.interpolate(mode='area') downscale is an exact block mean
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, h // factor, w // factor, c),
-                            method="linear")  # area ~ linear for 2x steps
+    return x.reshape(b, h // factor, factor, w // factor, factor, c) \
+        .mean(axis=(2, 4))
 
 
 def _area_up2(x):
@@ -113,7 +114,11 @@ class DRBNet(nn.Module):
         f2 = enc(f1, ch2, "conv2", True)
         f3 = enc(f2, ch3, "conv3", True)
         f_c = enc(f3, ch4, "conv4", True)
-        f = ConvStack((ch4, ch4), (3, 3), name="conv4_4")(f_c)
+        # conv -> ResnetBlock x2 -> conv (DRBNet.py:329-334)
+        f = ConvStack((ch4,), (3,), name="conv4_4_pre")(f_c)
+        f = ResBlockDRB(name="conv4_4_r1")(f)
+        f = ResBlockDRB(name="conv4_4_r2")(f)
+        f = ConvStack((ch4,), (3,), name="conv4_4_post")(f)
 
         def refine_est(est, f, img_dims, kernel_dims, res_dims, tag):
             imf = ConvStack(img_dims, (3, 3, 3),

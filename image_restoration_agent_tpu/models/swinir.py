@@ -23,8 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.pallas_attention import (mlp_block_pallas, swin_strip_pallas,
-                                    wmsa_block_pallas, wmsa_pallas)
+from ..ops.pallas_attention import (mlp_block_pallas, roll2d_pallas,
+                                    swin_strip_pallas, wmsa_block_pallas,
+                                    wmsa_pallas)
 from ..ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
 from ..ops.window_attention import (
     relative_position_index,
@@ -146,16 +147,25 @@ class SwinBlock(nn.Module):
         # The attention half-block (LN -> attn -> proj -> +residual) runs on
         # raw (rolled, windowed) features; LN is pixelwise so it commutes
         # with roll/partition.
+        strip = _resolve_impl(self.attention_impl) == "pallas_block" \
+            and h % ws == 0 and w % ws == 0
+        # XLA lowers jnp.roll to slice+concat materializations measured
+        # ~3x slower than an HBM round-trip; the Pallas roll reads exactly
+        # the row groups each output strip needs.
+        use_roll_kernel = strip and shift == ws // 2
+        roll = (lambda t, sh: roll2d_pallas(t, sh, ws=ws)) \
+            if use_roll_kernel else \
+            (lambda t, sh: jnp.roll(t, (sh, sh), axis=(1, 2)))
+
         y = x
         if shift > 0:
-            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            y = roll(y, -shift)
         mask_np = shift_attention_mask(h, w, ws, shift)
         mask = None if mask_np is None else jnp.asarray(mask_np)
         attn = WindowAttentionLayer(self.dim, ws, self.num_heads,
                                     attention_impl=self.attention_impl,
                                     name="attn")
-        if _resolve_impl(self.attention_impl) == "pallas_block" \
-                and h % ws == 0 and w % ws == 0:
+        if strip:
             # strip kernel: windowizing happens in VMEM, no partition copy
             y = attn(y, mask)
         else:
@@ -163,7 +173,7 @@ class SwinBlock(nn.Module):
             yw = attn(yw, mask)
             y = window_reverse(yw.reshape(-1, ws, ws, c), ws, h, w)
         if shift > 0:
-            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+            y = roll(y, shift)
         x = y
 
         # MLP half-block: raw params shared across backends.

@@ -528,3 +528,54 @@ def wmsa_pallas(qkv: jnp.ndarray, rpb: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((pair * num_heads * n, n), jnp.float32)],
         interpret=interpret,
     )(qkv, rpb.astype(jnp.float32), hmask, wmask_arg)
+
+
+def _roll_kernel(a_ref, b_ref, out_ref, *, s, w, dc):
+    """Assemble one ws-row output strip of a 2D circular roll from the two
+    s-row input groups that contain its rows, rotating columns by dc."""
+    rows = jnp.concatenate([a_ref[0, 0], b_ref[0, 0]], axis=0)  # (ws, W, C)
+    if dc < 0:  # out[:, j] = in[:, j - dc]
+        rot = jnp.concatenate([rows[:, -dc:], rows[:, :-dc]], axis=1)
+    else:
+        rot = jnp.concatenate([rows[:, w - dc:], rows[:, :w - dc]], axis=1)
+    out_ref[0, 0] = rot
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "ws", "interpret"))
+def roll2d_pallas(x, shift: int, ws: int = 8, interpret: bool = False):
+    """Circular roll of (B, H, W, C) by (shift, shift) on (H, W) — the Swin
+    shift. |shift| must be ws/2; H, W multiples of ws. XLA lowers jnp.roll
+    to slice+concat materializations measured ~3x slower than HBM
+    round-trip; this kernel reads exactly the s-row groups each output
+    strip needs (network_swinir.py's torch.roll equivalent)."""
+    b, h, w, c = x.shape
+    s = ws // 2
+    assert shift in (s, -s) and h % ws == 0 and w % ws == 0
+    rows = h // ws
+    groups = 2 * rows
+    xg = x.reshape(b * groups, 1, s, w, c)
+
+    # output strip r of image i needs input groups (2r+d0, 2r+d0+1) mod
+    # groups, where d0 = +1 for roll -s and -1 for roll +s
+    d0 = 1 if shift < 0 else -1
+
+    def idx(off):
+        def f(i):
+            img, r = i // rows, i % rows
+            return (img * groups + (2 * r + off) % groups, 0, 0, 0, 0)
+        return f
+
+    out = pl.pallas_call(
+        functools.partial(_roll_kernel, s=s, w=w, dc=shift),
+        grid=(b * rows,),
+        in_specs=[
+            pl.BlockSpec((1, 1, s, w, c), idx(d0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, w, c), idx(d0 + 1),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, ws, w, c), lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * rows, 1, ws, w, c), x.dtype),
+        interpret=interpret,
+    )(xg, xg)
+    return out.reshape(b, h, w, c)
