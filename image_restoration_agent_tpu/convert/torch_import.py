@@ -94,23 +94,30 @@ def _set(tree: dict, path: str, value: np.ndarray) -> None:
 
 
 def convert_state_dict(state: dict, rules: list[Rule],
-                       template=None, strict: bool = True) -> dict:
+                       template=None, strict: bool = True,
+                       multi: bool = False) -> dict:
     """Apply (regex -> path template, transform) rules to a torch state dict.
 
     The regex's groups fill ``\\1``-style backrefs in the path template.
     With a template (a flax params tree or eval_shape thereof), validates
-    completeness and shapes.
+    completeness and shapes. ``multi=True`` applies EVERY matching rule to
+    a source key (one torch tensor fanning out to several flax leaves,
+    e.g. HAT's norm1 feeding both the fused attention LN and the CAB
+    branch copy); the default keeps first-match-wins.
     """
     params: dict = {}
     unmatched = []
     for key, value in state.items():
+        hit = False
         for pattern, path_tpl, transform in rules:
             m = re.fullmatch(pattern, key)
             if m:
                 path = m.expand(path_tpl)
                 _set(params, path, transform(np.asarray(value)))
-                break
-        else:
+                hit = True
+                if not multi:
+                    break
+        if not hit:
             unmatched.append(key)
     if strict and unmatched:
         raise KeyError(f"unmapped torch keys: {unmatched[:8]}"
@@ -380,14 +387,14 @@ def restormer_rules() -> list[Rule]:
 
 
 def convert_with_drops(state: dict, rules: list[Rule], template=None,
-                       strict: bool = True) -> dict:
+                       strict: bool = True, multi: bool = False) -> dict:
     """Like convert_state_dict but rules whose path template is empty
     drop the key (buffers like relative_position_index, attn_mask)."""
     kept_rules = [(p, t, f) for p, t, f in rules if t != ""]
     drop_pats = [p for p, t, f in rules if t == ""]
     filtered = {k: v for k, v in state.items()
                 if not any(re.fullmatch(p, k) for p in drop_pats)}
-    return convert_state_dict(filtered, kept_rules, template, strict)
+    return convert_state_dict(filtered, kept_rules, template, strict, multi)
 
 
 def mprnet_rules() -> list[Rule]:
@@ -638,4 +645,98 @@ def drbnet_rules() -> list[Rule]:
                 (rf"img_{d}_feature\.{i}\.0\.bias",
                  rf"img_{d}_feature/c{i}/Conv_0/bias", t_id),
             ]
+    return rules
+
+
+def hat_rules() -> list[Rule]:
+    """Reference HAT names (hat_arch.py) -> models/hat.py.
+
+    MUST be applied with ``multi=True``: each block's torch norm1 fans out
+    to two flax leaves — the fused attention half-block's internal LN
+    (``attn/norm_scale``) and the CAB branch's copy (``norm1/scale``) —
+    because the reference applies one norm1 to both branches while our
+    attention path uses SwinIR's fused pre-norm layer.
+    """
+    L = r"layers\.(\d+)\.residual_group\.blocks\.(\d+)"
+    D = r"layer\1/hab\2"
+    rules: list[Rule] = [
+        (r"conv_first\.weight", r"conv_first/Conv_0/kernel", t_conv),
+        (r"conv_first\.bias", r"conv_first/Conv_0/bias", t_id),
+        (r"patch_embed\.norm\.weight", r"patch_embed_norm/scale", t_id),
+        (r"patch_embed\.norm\.bias", r"patch_embed_norm/bias", t_id),
+        (r"norm\.weight", r"norm/scale", t_id),
+        (r"norm\.bias", r"norm/bias", t_id),
+        (r"conv_after_body\.weight", r"conv_after_body/Conv_0/kernel",
+         t_conv),
+        (r"conv_after_body\.bias", r"conv_after_body/Conv_0/bias", t_id),
+        (r"conv_before_upsample\.0\.weight",
+         r"conv_before_upsample/Conv_0/kernel", t_conv),
+        (r"conv_before_upsample\.0\.bias",
+         r"conv_before_upsample/Conv_0/bias", t_id),
+        (r"upsample\.0\.weight", r"upsample0/Conv_0/kernel", t_conv),
+        (r"upsample\.0\.bias", r"upsample0/Conv_0/bias", t_id),
+        (r"upsample\.2\.weight", r"upsample1/Conv_0/kernel", t_conv),
+        (r"upsample\.2\.bias", r"upsample1/Conv_0/bias", t_id),
+        (r"conv_last\.weight", r"conv_last/Conv_0/kernel", t_conv),
+        (r"conv_last\.bias", r"conv_last/Conv_0/bias", t_id),
+        (r"relative_position_index_SA", "", t_id),
+        (r"relative_position_index_OCA", "", t_id),
+        (rf"{L}\.attn_mask", "", t_id),
+    ]
+    # HAB blocks: norm1 fans out to the fused-LN and the CAB-branch copy
+    rules += [
+        (rf"{L}\.norm1\.weight", rf"{D}/attn/norm_scale", t_id),
+        (rf"{L}\.norm1\.weight", rf"{D}/norm1/scale", t_id),
+        (rf"{L}\.norm1\.bias", rf"{D}/attn/norm_bias", t_id),
+        (rf"{L}\.norm1\.bias", rf"{D}/norm1/bias", t_id),
+        (rf"{L}\.attn\.relative_position_bias_table",
+         rf"{D}/attn/relative_position_bias_table", t_id),
+        (rf"{L}\.attn\.qkv\.weight", rf"{D}/attn/qkv_kernel", t_linear),
+        (rf"{L}\.attn\.qkv\.bias", rf"{D}/attn/qkv_bias_p", t_id),
+        (rf"{L}\.attn\.proj\.weight", rf"{D}/attn/proj_kernel", t_linear),
+        (rf"{L}\.attn\.proj\.bias", rf"{D}/attn/proj_bias_p", t_id),
+        (rf"{L}\.conv_block\.cab\.0\.weight",
+         rf"{D}/conv_block/c1/Conv_0/kernel", t_conv),
+        (rf"{L}\.conv_block\.cab\.0\.bias",
+         rf"{D}/conv_block/c1/Conv_0/bias", t_id),
+        (rf"{L}\.conv_block\.cab\.2\.weight",
+         rf"{D}/conv_block/c2/Conv_0/kernel", t_conv),
+        (rf"{L}\.conv_block\.cab\.2\.bias",
+         rf"{D}/conv_block/c2/Conv_0/bias", t_id),
+        (rf"{L}\.conv_block\.cab\.3\.attention\.1\.weight",
+         rf"{D}/conv_block/ca1/Conv_0/kernel", t_conv),
+        (rf"{L}\.conv_block\.cab\.3\.attention\.1\.bias",
+         rf"{D}/conv_block/ca1/Conv_0/bias", t_id),
+        (rf"{L}\.conv_block\.cab\.3\.attention\.3\.weight",
+         rf"{D}/conv_block/ca2/Conv_0/kernel", t_conv),
+        (rf"{L}\.conv_block\.cab\.3\.attention\.3\.bias",
+         rf"{D}/conv_block/ca2/Conv_0/bias", t_id),
+        (rf"{L}\.norm2\.weight", rf"{D}/norm2/scale", t_id),
+        (rf"{L}\.norm2\.bias", rf"{D}/norm2/bias", t_id),
+        (rf"{L}\.mlp\.fc1\.weight", rf"{D}/fc1/kernel", t_linear),
+        (rf"{L}\.mlp\.fc1\.bias", rf"{D}/fc1/bias", t_id),
+        (rf"{L}\.mlp\.fc2\.weight", rf"{D}/fc2/kernel", t_linear),
+        (rf"{L}\.mlp\.fc2\.bias", rf"{D}/fc2/bias", t_id),
+    ]
+    O = r"layers\.(\d+)\.residual_group\.overlap_attn"
+    DO = r"layer\1/ocab"
+    rules += [
+        (rf"{O}\.relative_position_bias_table",
+         rf"{DO}/relative_position_bias_table", t_id),
+        (rf"{O}\.norm1\.weight", rf"{DO}/norm1/scale", t_id),
+        (rf"{O}\.norm1\.bias", rf"{DO}/norm1/bias", t_id),
+        (rf"{O}\.qkv\.weight", rf"{DO}/qkv/kernel", t_linear),
+        (rf"{O}\.qkv\.bias", rf"{DO}/qkv/bias", t_id),
+        (rf"{O}\.proj\.weight", rf"{DO}/proj/kernel", t_linear),
+        (rf"{O}\.proj\.bias", rf"{DO}/proj/bias", t_id),
+        (rf"{O}\.norm2\.weight", rf"{DO}/norm2/scale", t_id),
+        (rf"{O}\.norm2\.bias", rf"{DO}/norm2/bias", t_id),
+        (rf"{O}\.mlp\.fc1\.weight", rf"{DO}/fc1/kernel", t_linear),
+        (rf"{O}\.mlp\.fc1\.bias", rf"{DO}/fc1/bias", t_id),
+        (rf"{O}\.mlp\.fc2\.weight", rf"{DO}/fc2/kernel", t_linear),
+        (rf"{O}\.mlp\.fc2\.bias", rf"{DO}/fc2/bias", t_id),
+        (r"layers\.(\d+)\.conv\.weight", r"layer\1/conv/Conv_0/kernel",
+         t_conv),
+        (r"layers\.(\d+)\.conv\.bias", r"layer\1/conv/Conv_0/bias", t_id),
+    ]
     return rules

@@ -91,11 +91,16 @@ class HAB(nn.Module):
         ws = self.window_size
         shift = 0 if min(h, w) <= ws else self.shift_size
 
-        shortcut = x
-        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        # WindowAttentionLayer is the fused pre-norm half-block
+        # x + proj(attn(LN(x))): its internal LN plays hat_arch.py's norm1
+        # for the attention branch. The CAB branch needs the SAME norm1
+        # output, so it keeps a parameter copy ("norm1") that conversion
+        # fills from the same torch tensor (hat_rules, multi-match).
+        n1 = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         conv_x = ChannelAttentionConv(self.dim, self.compress_ratio,
                                       self.squeeze_factor,
-                                      name="conv_block")(y)
+                                      name="conv_block")(n1)
+        y = x
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
         mask_np = shift_attention_mask(h, w, ws, shift)
@@ -107,7 +112,7 @@ class HAB(nn.Module):
         y = window_reverse(yw.reshape(-1, ws, ws, c), ws, h, w)
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
-        x = shortcut + y + conv_x * self.conv_scale
+        x = y + conv_x * self.conv_scale
 
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(y)
@@ -229,7 +234,8 @@ class HAT(nn.Module):
         x = (x - mean) * self.img_range
 
         feat = Conv(self.embed_dim, kernel=3, name="conv_first")(x)
-        y = feat
+        # patch_norm=True in the reference (hat_arch.py HAT.__init__)
+        y = nn.LayerNorm(epsilon=1e-5, name="patch_embed_norm")(feat)
         for i, (d, h) in enumerate(zip(self.depths, self.num_heads)):
             y = RHAG(self.embed_dim, d, h, self.window_size,
                      self.overlap_ratio, self.compress_ratio,
