@@ -30,10 +30,15 @@ from ..agent.graph_app import create_image_analysis_graph
 
 class AgentAPIServer:
     def __init__(self, work_root: Path, graph=None, engine_status=None,
-                 **graph_kw):
+                 allowed_roots=None, **graph_kw):
         self.work_root = Path(work_root)
         (self.work_root / "uploads").mkdir(parents=True, exist_ok=True)
         (self.work_root / "final_output").mkdir(parents=True, exist_ok=True)
+        # Paths a client may reference via image_path. Default: only the
+        # server's own work root — a network client must upload, not point
+        # at arbitrary server-readable files and exfiltrate via /download.
+        self.allowed_roots = [self.work_root.resolve()] + [
+            Path(p).resolve() for p in (allowed_roots or [])]
         self._graph = graph
         self._graph_kw = graph_kw
         self._graph_lock = threading.Lock()
@@ -74,6 +79,10 @@ class AgentAPIServer:
         self.tasks[task_id] = result
         return result
 
+    def path_allowed(self, image_path: str) -> bool:
+        p = Path(image_path).resolve()
+        return any(p.is_relative_to(root) for root in self.allowed_roots)
+
     def download(self, task_id: str) -> Optional[bytes]:
         p = self.work_root / "final_output" / f"{task_id}.png"
         return p.read_bytes() if p.exists() else None
@@ -86,18 +95,28 @@ class AgentAPIServer:
 
 
 def _parse_multipart(body: bytes, content_type: str):
-    """Minimal multipart/form-data parser: returns {name: (filename, data)}."""
+    """Minimal multipart/form-data parser: returns {name: (filename, data)}.
+
+    Splits on the exact ``\\r\\n--boundary`` delimiter so payloads ending in
+    '-', CR, or LF are preserved byte-exact (an rstrip-based parser corrupts
+    them).
+    """
     m = re.search(r'boundary="?([^";]+)"?', content_type)
     if not m:
         return {}
-    boundary = m.group(1).encode()
-    parts = body.split(b"--" + boundary)
+    delim = b"--" + m.group(1).encode()
+    chunks = body.split(b"\r\n" + delim)
+    if chunks and chunks[0].startswith(delim):  # first part has no leading CRLF
+        chunks[0] = chunks[0][len(delim):]
     out = {}
-    for part in parts:
-        if b"\r\n\r\n" not in part:
+    for chunk in chunks:
+        if chunk.startswith(b"--"):  # closing delimiter
             continue
-        head, _, data = part.partition(b"\r\n\r\n")
-        data = data.rstrip(b"\r\n-")
+        if chunk.startswith(b"\r\n"):
+            chunk = chunk[2:]
+        head, sep, data = chunk.partition(b"\r\n\r\n")
+        if not sep:
+            continue
         dm = re.search(rb'name="([^"]+)"', head)
         if not dm:
             continue
@@ -107,7 +126,7 @@ def _parse_multipart(body: bytes, content_type: str):
     return out
 
 
-def make_server(host: str = "0.0.0.0", port: int = 1146,
+def make_server(host: str = "127.0.0.1", port: int = 1146,
                 app: Optional[AgentAPIServer] = None,
                 work_root: Optional[Path] = None, **graph_kw):
     app = app or AgentAPIServer(work_root or Path("./api_work"), **graph_kw)
@@ -167,6 +186,11 @@ def make_server(host: str = "0.0.0.0", port: int = 1146,
                     return self._send_json(
                         {"status": "error",
                          "message": f"image not found: {image_path}"}, 400)
+                if not app.path_allowed(image_path):
+                    return self._send_json(
+                        {"status": "error",
+                         "message": "image_path outside allowed roots; "
+                                    "upload the file instead"}, 403)
                 return self._send_json(app.process(image_path))
             except Exception as e:
                 return self._send_json(

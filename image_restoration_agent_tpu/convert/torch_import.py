@@ -62,12 +62,26 @@ def t_scalar(w: np.ndarray) -> np.ndarray:
 # ---------------- loading ----------------
 
 def load_torch_checkpoint(path: str | Path,
-                          param_key: Optional[str] = "auto") -> dict:
+                          param_key: Optional[str] = "auto",
+                          trusted_source: bool = False) -> dict:
     """Load a .pth into {name: np.ndarray}, honoring the reference's
-    params/params_ema key selection."""
+    params/params_ema key selection.
+
+    Tries ``weights_only=True`` first (safe unpickling); legacy zoo
+    checkpoints that pickle arbitrary objects require an explicit
+    ``trusted_source=True`` opt-in to fall back to full unpickling.
+    """
     import torch
 
-    raw = torch.load(str(path), map_location="cpu", weights_only=False)
+    try:
+        raw = torch.load(str(path), map_location="cpu", weights_only=True)
+    except Exception:
+        if not trusted_source:
+            raise ValueError(
+                f"{path} is not loadable with weights_only=True; pass "
+                "trusted_source=True only if you trust this checkpoint "
+                "(full unpickling can execute arbitrary code)")
+        raw = torch.load(str(path), map_location="cpu", weights_only=False)
     if param_key == "auto":
         for key in ("params_ema", "params", "state_dict", "model"):
             if isinstance(raw, dict) and key in raw and \

@@ -36,6 +36,7 @@ class RestorationResult:
     seconds: float
     input_shape: tuple
     output_shape: tuple
+    random_init: bool = False  # True if the model ran with unloaded weights
 
 
 def _bucket(size: int, bucket: int, multiple: int) -> int:
@@ -55,11 +56,20 @@ class Engine:
         param_dtype: Any = jnp.float32,
         shape_bucket: int = 128,
         default_batch: int = 4,
+        allow_random_init: Optional[bool] = None,
     ):
         self.weight_dir = Path(weight_dir) if weight_dir else None
         self.param_dtype = param_dtype
         self.shape_bucket = shape_bucket
         self.default_batch = default_batch
+        # Random-init fallback policy: allowed by default only when the
+        # engine was explicitly built without a weight_dir (hermetic/test
+        # use); with a weight_dir, a missing checkpoint raises unless the
+        # caller opts in — a typo'd path must not silently serve garbage.
+        self.allow_random_init = (self.weight_dir is None
+                                  if allow_random_init is None
+                                  else allow_random_init)
+        self.random_init_models: set[str] = set()
         self.store = WeightStore(self._load_params, hbm_budget_bytes)
         self._jit_cache: dict[tuple, Callable] = {}
         self.call_log: list[dict] = []
@@ -82,6 +92,18 @@ class Engine:
                         lambda: model.init(jax.random.PRNGKey(0), sample))
                     params = ckptr.restore(ckpt.resolve(), template)
                 return params
+        if not self.allow_random_init:
+            raise FileNotFoundError(
+                f"no checkpoint for model '{name}' under {self.weight_dir}; "
+                "pass allow_random_init=True to serve with random weights")
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "model '%s': no checkpoint found%s — serving RANDOM-INIT weights "
+            "(outputs are garbage; for tests/dryruns only)", name,
+            f" under {self.weight_dir}" if self.weight_dir else
+            " (no weight_dir configured)")
+        self.random_init_models.add(name)
         tile = spec.tile or 64
         sample = jnp.zeros((1, min(tile, 64), min(tile, 64), 3))
         params = model.init(jax.random.PRNGKey(0), sample)
@@ -151,7 +173,8 @@ class Engine:
                               "seconds": dt})
         return RestorationResult(
             image=to_uint8(out), model=model_name, seconds=dt,
-            input_shape=(h0, w0), output_shape=out.shape[:2])
+            input_shape=(h0, w0), output_shape=out.shape[:2],
+            random_init=model_name in self.random_init_models)
 
     def restore_file(self, input_path: str | Path, output_path: str | Path,
                      model_name: str, **kw) -> RestorationResult:
@@ -188,4 +211,5 @@ class Engine:
             "evictions": list(self.store.evictions),
             "compiled_pipelines": len(self._jit_cache),
             "calls": len(self.call_log),
+            "random_init_models": sorted(self.random_init_models),
         }

@@ -298,8 +298,12 @@ class MAXIM(nn.Module):
             for i in range(self.depth):
                 feats = 2 ** i * self.features
                 bs, gs = self._sizes(i)
+                # the reference concatenates the scale input even at level 0
+                # (encoder block 0 sees [x, x]): UNetEncoderBlock.__call__
+                # `if skip is not None: x = concat([x, skip])` with
+                # x = x_scales[0] and skip = x_scales[0]
                 skip = x_scales[i] if i < self.num_supervision_scales else None
-                if skip is not None and i > 0:
+                if skip is not None:
                     y = jnp.concatenate([y, skip], axis=-1)
                 y = Conv(feats, kernel=1, name=f"stage{s}_enc{i}_in")(y)
                 shortcut_long = y
@@ -318,15 +322,18 @@ class MAXIM(nn.Module):
                          name=f"stage{s}_enc{i}_down")(y)
 
             # ---------- bottleneck ----------
+            # each bottleneck block: own input_proj + long residual around
+            # num_groups (MAB, RDCAB) pairs (reference BottleneckBlock)
             feats_bn = 2 ** (self.depth - 1) * self.features
-            y = Conv(feats_bn, kernel=1, name=f"stage{s}_bn_in")(y)
-            shortcut_bn = y
             for i in range(self.num_bottleneck_blocks):
-                y = MAB(self.block_size_lr, self.block_size_lr,
-                        name=f"stage{s}_bn{i}_mab")(y)
-                y = RDCAB(feats_bn, self.channels_reduction,
-                          name=f"stage{s}_bn{i}_rdcab")(y)
-            y = y + shortcut_bn
+                y = Conv(feats_bn, kernel=1, name=f"stage{s}_bn{i}_in")(y)
+                shortcut_bn = y
+                for gidx in range(self.num_groups):
+                    y = MAB(self.block_size_lr, self.block_size_lr,
+                            name=f"stage{s}_bn{i}_mab{gidx}")(y)
+                    y = RDCAB(feats_bn, self.channels_reduction,
+                              name=f"stage{s}_bn{i}_rdcab{gidx}")(y)
+                y = y + shortcut_bn
             global_feature = y
 
             # ---------- cross-gated multi-scale skips ----------

@@ -46,6 +46,13 @@ def _resolve_impl(impl: str) -> str:
     return impl
 
 
+def _pallas_supported(ws: int, tokens: int) -> bool:
+    """The fused Pallas paths assume an even window (roll2d splits rows into
+    ws//2 groups) and a token count divisible by 8 (mlp_block_pallas row
+    blocking) — window_size=7 configs (swinir_jpeg_40) must use XLA."""
+    return ws % 2 == 0 and tokens % 8 == 0
+
+
 class WindowAttentionLayer(nn.Module):
     """Pre-norm windowed attention half-block: LN -> qkv -> MHSA -> proj,
     returning ``xw + proj(attn(LN(xw)))`` (the residual is inside).
@@ -73,6 +80,9 @@ class WindowAttentionLayer(nn.Module):
         n = ws * ws
         c = self.dim
         impl = _resolve_impl(self.attention_impl)
+        if impl in ("pallas", "pallas_block") and not _pallas_supported(
+                ws, int(np.prod(xw.shape[:-1]))):
+            impl = "xla"
 
         table = self.param(
             "relative_position_bias_table",
@@ -144,11 +154,15 @@ class SwinBlock(nn.Module):
         # (reference SwinTransformerBlock.__init__:205-208).
         shift = 0 if min(h, w) <= ws else self.shift_size
 
+        impl = _resolve_impl(self.attention_impl)
+        if impl in ("pallas", "pallas_block") and not _pallas_supported(
+                ws, b * h * w):
+            impl = "xla"
+
         # The attention half-block (LN -> attn -> proj -> +residual) runs on
         # raw (rolled, windowed) features; LN is pixelwise so it commutes
         # with roll/partition.
-        strip = _resolve_impl(self.attention_impl) == "pallas_block" \
-            and h % ws == 0 and w % ws == 0
+        strip = impl == "pallas_block" and h % ws == 0 and w % ws == 0
         # XLA lowers jnp.roll to slice+concat materializations measured
         # ~3x slower than an HBM round-trip; the Pallas roll reads exactly
         # the row groups each output strip needs.
@@ -163,8 +177,7 @@ class SwinBlock(nn.Module):
         mask_np = shift_attention_mask(h, w, ws, shift)
         mask = None if mask_np is None else jnp.asarray(mask_np)
         attn = WindowAttentionLayer(self.dim, ws, self.num_heads,
-                                    attention_impl=self.attention_impl,
-                                    name="attn")
+                                    attention_impl=impl, name="attn")
         if strip:
             # strip kernel: windowizing happens in VMEM, no partition copy
             y = attn(y, mask)
@@ -187,7 +200,7 @@ class SwinBlock(nn.Module):
                         (hidden, c))
         b2 = self.param("fc2_bias", nn.initializers.zeros, (c,))
 
-        if _resolve_impl(self.attention_impl) == "pallas_block":
+        if impl == "pallas_block":
             x2d = x.reshape(-1, c)
             out = mlp_block_pallas(x2d, n2_scale, n2_bias, w1, b1, w2, b2)
             return out.reshape(b, h, w, c)

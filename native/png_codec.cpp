@@ -75,6 +75,9 @@ int png_probe(const uint8_t* data, size_t n, uint32_t* w, uint32_t* h,
   *h = r.u32();
   uint8_t depth = data[r.off++];
   uint8_t color = data[r.off++];
+  uint8_t compression = data[r.off++];
+  uint8_t filter = data[r.off++];
+  uint8_t interlace = data[r.off++];
   if (depth != 8) return -3;  // 8-bit only
   switch (color) {
     case 0: *channels = 1; break;
@@ -83,6 +86,10 @@ int png_probe(const uint8_t* data, size_t n, uint32_t* w, uint32_t* h,
     case 6: *channels = 4; break;
     default: return -4;  // palette unsupported
   }
+  // Adam7 interlacing stores scanlines in pass order; the sequential
+  // unfilter below would silently corrupt it. Reject so callers fall back
+  // to PIL. Same for unknown compression/filter methods.
+  if (compression != 0 || filter != 0 || interlace != 0) return -7;
   return 0;
 }
 

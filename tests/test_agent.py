@@ -91,6 +91,7 @@ class TestExecutor:
         for subtask, tools in fast_executor.toolbox_router.items():
             assert tools, subtask
 
+    @pytest.mark.slow
     def test_test_all_tools_shape_invariant(self, fast_executor, tmp_path,
                                             rng):
         img = rng.random((24, 24, 3), dtype=np.float32)
@@ -113,6 +114,7 @@ class TestExecutor:
 
 
 class TestIRAgent:
+    @pytest.mark.slow
     def test_run_with_fixed_plan(self, fast_executor, input_png, tmp_path):
         agent = IRAgent(input_png, tmp_path / "out",
                         executor=fast_executor, with_rollback=False)
@@ -136,6 +138,7 @@ class TestIRAgent:
         # plan recorded in working memory
         assert agent.work_mem["plan"]["initial"] == agent.plan
 
+    @pytest.mark.slow
     def test_full_run_autonomous(self, fast_executor, input_png, tmp_path):
         agent = IRAgent(input_png, tmp_path / "out3",
                         executor=fast_executor)
@@ -164,6 +167,7 @@ class TestIRAgent:
 
 
 class TestGraphApp:
+    @pytest.mark.slow
     def test_full_graph_run(self, fast_executor, input_png, tmp_path):
         state = run_agent(input_png, tmp_path / "graph_work",
                           executor=fast_executor)

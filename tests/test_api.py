@@ -25,8 +25,9 @@ def server(tmp_path_factory):
 
 
 @pytest.fixture
-def input_png(tmp_path, rng):
-    p = tmp_path / "img.png"
+def input_png(server, rng):
+    # inside the server work root: image_path references outside it are 403
+    p = Path(server[0].app.work_root) / "uploads" / "img.png"
     save_image(rng.random((32, 40, 3), dtype=np.float32), p)
     return p
 
@@ -78,6 +79,30 @@ class TestAPI:
         except urllib.error.HTTPError as e:
             code = e.code
         assert code == 404
+
+    def test_process_path_outside_roots_403(self, server, tmp_path, rng):
+        _, base = server
+        p = tmp_path / "outside.png"
+        save_image(rng.random((16, 16, 3), dtype=np.float32), p)
+        code, body = _post_json(f"{base}/process", {"image_path": str(p)})
+        assert code == 403 and body["status"] == "error"
+
+    def test_multipart_trailing_dash_preserved(self, server):
+        """Uploads whose payload ends in '-', CR, or LF must round-trip
+        byte-exact through the multipart parser."""
+        from image_restoration_agent_tpu.api.server import _parse_multipart
+
+        boundary = "----b7"
+        for tail in (b"-", b"\r", b"\n", b"\r\n", b"--\r\n"):
+            payload = b"\x89PNGdata" + tail
+            body = (
+                f"--{boundary}\r\n"
+                f'Content-Disposition: form-data; name="file"; '
+                f'filename="x.bin"\r\n\r\n').encode() + payload + \
+                f"\r\n--{boundary}--\r\n".encode()
+            fields = _parse_multipart(
+                body, f"multipart/form-data; boundary={boundary}")
+            assert fields["file"][1] == payload
 
     def test_multipart_upload(self, server, input_png):
         _, base = server

@@ -3,6 +3,8 @@
 import json
 from pathlib import Path
 
+import pytest
+
 from image_restoration_agent_tpu.offline.benchmark_suite import (
     ALL_COMBOS, GROUP_A, GROUP_B, GROUP_C, render_table, run_suite,
     synthetic_hq,
@@ -20,6 +22,7 @@ class TestBenchmarkSuite:
         b = synthetic_hq(2, seed=3)
         assert (a[0] == b[0]).all() and (a[1] == b[1]).all()
 
+    @pytest.mark.slow
     def test_single_combo_end_to_end(self, tmp_path):
         rep = run_suite(tmp_path, combos=["dark + noise"], fast=True)
         assert len(rep["records"]) == 1

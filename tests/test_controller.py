@@ -45,6 +45,7 @@ class TestController:
 
 
 class TestConfidence:
+    @pytest.mark.slow
     def test_severity_with_confidence(self, rng):
         from image_restoration_agent_tpu.iqa.classifier import (
             SEVERITY_LEVELS, SeverityEvaluator)

@@ -112,6 +112,7 @@ def _torch_keys_like_reference(model: TorchNAFNetTiny) -> dict:
 
 
 class TestNAFNetConversion:
+    @pytest.mark.slow
     def test_full_numerical_parity(self, rng):
         tm = TorchNAFNetTiny(w=8).eval()
         # randomize all params (incl. zero-init beta/gamma) for a real test

@@ -19,6 +19,8 @@ from image_restoration_agent_tpu.convert.torch_import import (
 )
 from image_restoration_agent_tpu.models import build_model
 
+pytestmark = pytest.mark.slow
+
 
 def _torch_state_from_flax(fd):
     """Build a reference-named torch-layout state dict that converts back

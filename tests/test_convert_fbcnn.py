@@ -14,6 +14,8 @@ from image_restoration_agent_tpu.convert.torch_import import (  # noqa: E402
     convert_state_dict, fbcnn_rules_for)
 from image_restoration_agent_tpu.models import build_model  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 NC = (8, 12, 16, 24)
 NB = 1
 

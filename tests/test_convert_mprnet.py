@@ -18,6 +18,8 @@ from image_restoration_agent_tpu.convert.torch_import import (  # noqa: E402
 )
 from image_restoration_agent_tpu.models import build_model  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 
 def conv3(ci, co, k=3):
     return tnn.Conv2d(ci, co, k, padding=k // 2, bias=False)

@@ -15,6 +15,8 @@ from image_restoration_agent_tpu.convert.torch_import import (  # noqa: E402
     convert_state_dict, restormer_rules)
 from image_restoration_agent_tpu.models import build_model  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 DIM = 8
 HEADS = (1, 1, 2, 2)
 BLOCKS = (1, 1, 1, 1)

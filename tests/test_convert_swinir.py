@@ -18,6 +18,8 @@ from image_restoration_agent_tpu.convert.torch_import import (  # noqa: E402
     convert_with_drops, swinir_rules)
 from image_restoration_agent_tpu.models import build_model  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 WS = 8
 DIM = 16
 HEADS = 2

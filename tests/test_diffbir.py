@@ -13,6 +13,8 @@ from image_restoration_agent_tpu.models.diffbir.pipeline import (
 )
 from image_restoration_agent_tpu.models import build_model
 
+pytestmark = pytest.mark.slow
+
 
 class TestSpacedSchedule:
     def test_space_timesteps_count_and_range(self):

@@ -10,6 +10,8 @@ from image_restoration_agent_tpu.parallel import make_mesh
 from image_restoration_agent_tpu.parallel.halo_tiling import (
     halo_pad_height, tiled_apply_halo)
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def mesh8():

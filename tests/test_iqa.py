@@ -67,6 +67,7 @@ class TestScorer:
 
 
 class TestSeverityEvaluator:
+    @pytest.mark.slow
     def test_contract_shapes(self, rng):
         ev = SeverityEvaluator()
         img = rng.random((50, 70, 3), dtype=np.float32)

@@ -21,10 +21,12 @@ def _init_and_run(name, h=32, w=32, seed=0):
 
 
 class TestNAFNet:
+    @pytest.mark.slow
     def test_shape_preserved(self):
         spec, x, out, *_ = _init_and_run("nafnet_small")
         assert out.shape == x.shape
 
+    @pytest.mark.slow
     def test_nondivisible_input_padded_internally(self):
         model = build_model("nafnet_small")
         x = jnp.zeros((1, 30, 21, 3))
@@ -69,6 +71,7 @@ class TestSwinIR:
         assert spec.scale == 4
         assert out.shape == (1, 64, 64, 3)
 
+    @pytest.mark.slow
     def test_window7_denoise_config_builds(self):
         # JPEG config uses window_size 7 and img_range 255.
         model = build_model("swinir_jpeg_40", embed_dim=8, depths=(1,),

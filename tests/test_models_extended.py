@@ -8,6 +8,8 @@ import pytest
 
 from image_restoration_agent_tpu.models import build_model, list_models
 
+pytestmark = pytest.mark.slow
+
 
 def _run(name, h, w, **kw):
     m = build_model(name, **kw)
@@ -152,3 +154,22 @@ class TestPallasWMSA:
         finally:
             from image_restoration_agent_tpu.models import swinir as sw
             sw.wmsa_pallas = orig
+
+    def test_odd_window_falls_back_to_xla(self, rng):
+        """window_size=7 (swinir_jpeg_40) must not enter the Pallas fast
+        path: roll2d/mlp_block assume even windows and %8 token counts.
+        Forcing pallas_block must silently produce the xla result."""
+        from image_restoration_agent_tpu.models.swinir import SwinIR
+
+        kw = dict(embed_dim=16, depths=(2,), num_heads=(2,), window_size=7,
+                  upsampler="")
+        m_x = SwinIR(attention_impl="xla", **kw)
+        m_p = SwinIR(attention_impl="pallas_block", **kw)
+        # 21x19: multiple of 7 in H only — exercises both the strip-gate and
+        # the windowed path; 1*21*21 tokens are not divisible by 8.
+        x = jnp.asarray(rng.random((1, 21, 21, 3), dtype=np.float32))
+        p = m_x.init(jax.random.PRNGKey(0), x)
+        out_x = m_x.apply(p, x)
+        out_p = m_p.apply(p, x)  # would crash at trace time un-gated
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                                   atol=0, rtol=0)

@@ -8,6 +8,8 @@ import pytest
 from image_restoration_agent_tpu.models import build_model, list_models
 from image_restoration_agent_tpu.ops.dcn import modulated_deform_conv
 
+pytestmark = pytest.mark.slow
+
 
 def _run(name, h, w, seed=0):
     m = build_model(name)

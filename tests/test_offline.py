@@ -32,6 +32,7 @@ class TestExploration:
         assert c["leaves"] == 12
         assert c["nodes"] == 17
 
+    @pytest.mark.slow
     def test_tree_matches_invariants(self, executor, tmp_path, rng):
         src = tmp_path / "in.png"
         save_image(rng.random((24, 24, 3), dtype=np.float32), src)

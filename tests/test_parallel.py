@@ -61,6 +61,7 @@ class TestTileParallel:
 
 
 class TestShardedTraining:
+    @pytest.mark.slow
     def test_nafnet_train_step_runs_and_descends(self, eight_devices):
         mesh = make_mesh({"data": 2, "model": 4})
         model = build_model("nafnet_small", width=8,

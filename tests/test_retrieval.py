@@ -57,6 +57,7 @@ class TestCombiner:
 
 
 class TestEmbedder:
+    @pytest.mark.slow
     def test_embed_is_unit_and_deterministic(self, rng):
         emb = RetrievalEmbedder()
         img = rng.random((60, 60, 3), dtype=np.float32)
@@ -66,6 +67,7 @@ class TestEmbedder:
         np.testing.assert_allclose(np.linalg.norm(e1), 1.0, atol=1e-4)
         np.testing.assert_array_equal(e1, e2)
 
+    @pytest.mark.slow
     def test_retrieval_end_to_end(self, rng, tmp_path):
         """Insert two solved images; a near-duplicate must retrieve the
         right plan."""

@@ -73,6 +73,7 @@ class TestEvalService:
 
 
 class TestCLI:
+    @pytest.mark.slow
     def test_test_tools_command(self, tmp_path, capsys):
         from image_restoration_agent_tpu.cli import main
         rc = main(["test-tools", "--work-dir", str(tmp_path / "tt")])
@@ -80,6 +81,7 @@ class TestCLI:
         report = json.loads(capsys.readouterr().out)
         assert all(v["ok"] for v in report.values())
 
+    @pytest.mark.slow
     def test_infer_command(self, tmp_path, capsys, rng):
         from image_restoration_agent_tpu.cli import main
         src = tmp_path / "in.png"

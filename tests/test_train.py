@@ -59,6 +59,7 @@ class TestLosses:
 
 
 class TestTrainer:
+    @pytest.mark.slow
     def test_end_to_end_denoise_training_improves(self, rng):
         """Train tiny NAFNet on synthetic denoising for 60 steps: loss must
         drop and val PSNR must beat the noisy input."""

@@ -12,6 +12,8 @@ from image_restoration_agent_tpu.train.classifier import (
 from image_restoration_agent_tpu.train.retrieval import (
     info_nce_loss, insert_solved_runs, recall_at_k, train_retrieval_model)
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture
 def hq_images(rng):
