@@ -30,7 +30,8 @@ REF_A100_MP_PER_S = 0.65  # documented estimate, see module docstring
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--tile", type=int, default=256)
+    p.add_argument("--tile", type=int, default=256,
+                   help="tile size; 0 = whole-image (untiled) forward")
     p.add_argument("--overlap", type=int, default=32)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--size", default="1920x1080")
@@ -65,8 +66,10 @@ def main() -> None:
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.random((h, w, 3), dtype=np.float32))
 
+    tile = args.tile if args.tile > 0 else None
+    init_t = args.tile if args.tile > 0 else spec.pad_multiple * 2
     params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, args.tile, args.tile, 3)))
+                        jnp.zeros((1, init_t, init_t, 3)))
     if args.dtype == "bf16":
         # bf16 weights/activations: TPU-native inference precision; the
         # overlap-blend accumulates in f32 and quality parity is guarded by
@@ -83,7 +86,7 @@ def main() -> None:
     @jax.jit
     def run(img):
         return tiled_apply(
-            fwd, img, tile=args.tile, overlap=args.overlap,
+            fwd, img, tile=tile, overlap=args.overlap,
             scale=spec.scale, batch=args.batch,
             pad_multiple=spec.pad_multiple, pad_mode=spec.pad_mode,
             pad_kind=spec.pad_kind)

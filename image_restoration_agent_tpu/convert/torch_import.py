@@ -754,3 +754,74 @@ def hat_rules() -> list[Rule]:
         (r"layers\.(\d+)\.conv\.bias", r"layer\1/conv/Conv_0/bias", t_id),
     ]
     return rules
+
+
+def xrestormer_rules() -> list[Rule]:
+    """Reference X-Restormer names (xrestormer_arch.py) -> models/
+    xrestormer.py.
+
+    Per TransformerBlock: 4 LayerNorms (.body), channel_attn (MDTA, same
+    layout as Restormer's attn incl. (heads,1,1) temperature), two GDFN
+    ffns, and the OCAB spatial attention whose RelPosEmb tables
+    (rel_height/rel_width, (2*owin-1, dim_head)) copy verbatim.
+    """
+    stages = ("encoder_level1", "encoder_level2", "encoder_level3",
+              "latent", "decoder_level3", "decoder_level2",
+              "decoder_level1", "refinement")
+    rules: list[Rule] = [
+        (r"patch_embed\.proj\.weight", r"patch_embed/Conv_0/kernel", t_conv),
+        (r"patch_embed\.proj\.bias", r"patch_embed/Conv_0/bias", t_id),
+        (r"output\.weight", r"output/Conv_0/kernel", t_conv),
+        (r"output\.bias", r"output/Conv_0/bias", t_id),
+    ]
+    for st in stages:
+        S = rf"{st}\.(\d+)"
+        D = rf"{st}_\1"
+        for k in range(1, 5):
+            rules += [
+                (rf"{S}\.norm{k}\.body\.weight", rf"{D}/norm{k}/weight",
+                 t_id),
+                (rf"{S}\.norm{k}\.body\.bias", rf"{D}/norm{k}/bias", t_id),
+            ]
+        rules += [
+            (rf"{S}\.channel_attn\.temperature",
+             rf"{D}/channel_attn/temperature", t_squeeze),
+        ]
+        for conv, tr in (("qkv", t_conv), ("qkv_dwconv", t_dwconv),
+                         ("project_out", t_conv)):
+            rules += [
+                (rf"{S}\.channel_attn\.{conv}\.weight",
+                 rf"{D}/channel_attn/{conv}/Conv_0/kernel", tr),
+                (rf"{S}\.channel_attn\.{conv}\.bias",
+                 rf"{D}/channel_attn/{conv}/Conv_0/bias", t_id),
+            ]
+        for ffn in ("channel_ffn", "spatial_ffn"):
+            for conv, tr in (("project_in", t_conv), ("dwconv", t_dwconv),
+                             ("project_out", t_conv)):
+                rules += [
+                    (rf"{S}\.{ffn}\.{conv}\.weight",
+                     rf"{D}/{ffn}/{conv}/Conv_0/kernel", tr),
+                    (rf"{S}\.{ffn}\.{conv}\.bias",
+                     rf"{D}/{ffn}/{conv}/Conv_0/bias", t_id),
+                ]
+        rules += [
+            (rf"{S}\.spatial_attn\.qkv\.weight",
+             rf"{D}/spatial_attn/qkv/Conv_0/kernel", t_conv),
+            (rf"{S}\.spatial_attn\.qkv\.bias",
+             rf"{D}/spatial_attn/qkv/Conv_0/bias", t_id),
+            (rf"{S}\.spatial_attn\.project_out\.weight",
+             rf"{D}/spatial_attn/project_out/Conv_0/kernel", t_conv),
+            (rf"{S}\.spatial_attn\.project_out\.bias",
+             rf"{D}/spatial_attn/project_out/Conv_0/bias", t_id),
+            (rf"{S}\.spatial_attn\.rel_pos_emb\.rel_height",
+             rf"{D}/spatial_attn/rel_height", t_id),
+            (rf"{S}\.spatial_attn\.rel_pos_emb\.rel_width",
+             rf"{D}/spatial_attn/rel_width", t_id),
+        ]
+    for name in ("down1_2", "down2_3", "down3_4", "up4_3", "up3_2", "up2_1"):
+        rules.append((rf"{name}\.body\.0\.weight",
+                      rf"{name}/conv/Conv_0/kernel", t_conv))
+    for name in ("reduce_chan_level3", "reduce_chan_level2"):
+        rules.append((rf"{name}\.weight", rf"{name}/Conv_0/kernel", t_conv))
+        rules.append((rf"{name}\.bias", rf"{name}/Conv_0/bias", t_id))
+    return rules

@@ -74,8 +74,9 @@ class WindowAttentionLayer(nn.Module):
     attention_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, xw, mask):
-        # xw: (nWB, N, C), pre-norm (the block shortcut)
+    def __call__(self, xw, mask, dc: int = 0, mask_bank=None):
+        # xw: (nWB, N, C), pre-norm (the block shortcut); dc/mask_bank only
+        # apply on the 4D strip-kernel path (folded roll + edge-mask bank)
         ws = self.window_size
         n = ws * ws
         c = self.dim
@@ -106,7 +107,8 @@ class WindowAttentionLayer(nn.Module):
                 return swin_strip_pallas(
                     xw, norm_scale, norm_bias, qkv_kernel, qkv_b,
                     proj_kernel, proj_b, rpb, mask,
-                    num_heads=self.num_heads, ws=ws)
+                    num_heads=self.num_heads, ws=ws, dc=dc,
+                    mask_bank=mask_bank)
             nwb = xw.shape[0]
             nw = 1 if mask is None else mask.shape[0]
             g = next(gg for gg in (8, 4, 2, 1)
@@ -147,7 +149,12 @@ class SwinBlock(nn.Module):
     attention_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, in_frame: int = 0):
+        """Returns (y, out_frame). On the strip-kernel path the cyclic roll
+        is folded into the kernel's reads and the output stays in the
+        rolled frame (out_frame = -shift); the caller (RSTB) chains frames
+        through the block sequence and unrolls once per RSTB. Elsewhere
+        frames are always 0."""
         b, h, w, c = x.shape
         ws = self.window_size
         # If the (padded) feature map is not larger than one window, no shift
@@ -163,31 +170,35 @@ class SwinBlock(nn.Module):
         # raw (rolled, windowed) features; LN is pixelwise so it commutes
         # with roll/partition.
         strip = impl == "pallas_block" and h % ws == 0 and w % ws == 0
-        # XLA lowers jnp.roll to slice+concat materializations measured
-        # ~3x slower than an HBM round-trip; the Pallas roll reads exactly
-        # the row groups each output strip needs.
-        use_roll_kernel = strip and shift == ws // 2
-        roll = (lambda t, sh: roll2d_pallas(t, sh, ws=ws)) \
-            if use_roll_kernel else \
-            (lambda t, sh: jnp.roll(t, (sh, sh), axis=(1, 2)))
-
-        y = x
-        if shift > 0:
-            y = roll(y, -shift)
-        mask_np = shift_attention_mask(h, w, ws, shift)
-        mask = None if mask_np is None else jnp.asarray(mask_np)
         attn = WindowAttentionLayer(self.dim, ws, self.num_heads,
                                     attention_impl=impl, name="attn")
+        out_frame = 0
         if strip:
-            # strip kernel: windowizing happens in VMEM, no partition copy
-            y = attn(y, mask)
+            # strip kernel: windowizing happens in VMEM, no partition copy;
+            # roll folded into the kernel's reads; shift masks via the
+            # 4-pattern edge bank (O(1) memory for any canvas size)
+            req_frame = -shift
+            dc = req_frame - in_frame
+            bank = None
+            if shift > 0:
+                bank_np = shift_attention_mask(2 * ws, 2 * ws, ws, shift)
+                bank = jnp.asarray(
+                    bank_np.reshape(2, 2, ws * ws, ws * ws))
+            x = attn(x, None, dc=dc, mask_bank=bank)
+            out_frame = req_frame
         else:
+            assert in_frame == 0, "frames only flow on the strip path"
+            y = x
+            if shift > 0:
+                y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            mask_np = shift_attention_mask(h, w, ws, shift)
+            mask = None if mask_np is None else jnp.asarray(mask_np)
             yw = window_partition(y, ws).reshape(-1, ws * ws, c)
             yw = attn(yw, mask)
             y = window_reverse(yw.reshape(-1, ws, ws, c), ws, h, w)
-        if shift > 0:
-            y = roll(y, shift)
-        x = y
+            if shift > 0:
+                y = jnp.roll(y, (shift, shift), axis=(1, 2))
+            x = y
 
         # MLP half-block: raw params shared across backends.
         hidden = int(self.dim * self.mlp_ratio)
@@ -203,7 +214,7 @@ class SwinBlock(nn.Module):
         if impl == "pallas_block":
             x2d = x.reshape(-1, c)
             out = mlp_block_pallas(x2d, n2_scale, n2_bias, w1, b1, w2, b2)
-            return out.reshape(b, h, w, c)
+            return out.reshape(b, h, w, c), out_frame
 
         xf = x.astype(jnp.float32)
         mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -213,7 +224,7 @@ class SwinBlock(nn.Module):
         y = y @ w1.astype(y.dtype) + b1.astype(y.dtype)
         y = nn.gelu(y, approximate=False)
         y = y @ w2.astype(y.dtype) + b2.astype(y.dtype)
-        return x + y
+        return x + y, out_frame
 
 
 class RSTB(nn.Module):
@@ -227,12 +238,18 @@ class RSTB(nn.Module):
     @nn.compact
     def __call__(self, x):
         res = x
+        frame = 0
         for i in range(self.depth):
-            x = SwinBlock(
+            x, frame = SwinBlock(
                 self.dim, self.num_heads, self.window_size,
                 shift_size=0 if i % 2 == 0 else self.window_size // 2,
                 mlp_ratio=self.mlp_ratio,
-                attention_impl=self.attention_impl, name=f"block{i}")(x)
+                attention_impl=self.attention_impl,
+                name=f"block{i}")(x, frame)
+        if frame != 0:
+            # one unroll per RSTB (vs one roll out + one roll back per
+            # shifted block before the fold)
+            x = roll2d_pallas(x, -frame, ws=self.window_size)
         x = Conv(self.dim, kernel=3, name="conv")(x)
         return x + res
 

@@ -228,31 +228,45 @@ def _erf_approx(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _strip_kernel(x_ref, lnw_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
+def _strip_kernel(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
                   bq_ref, bk_ref, bv_ref, wproj_ref, bproj_ref,
-                  rpbt_ref, hmask_ref, wmaskt_ref, out_ref,
+                  rpbq_ref, hmask_ref, wmask_ref, out_ref,
                   xw_ref, q_ref, k_ref, v_ref, attn_ref, *,
-                  num_heads, head_dim, nwin, ws, use_wmask, eps=1e-5):
-    """Strip-I/O variant of the fused Swin half-block: reads a (ws, W, C)
-    window-row strip straight from the NHWC tensor, windowizes in VMEM,
-    runs LN -> qkv -> attention -> proj -> +residual, and writes the strip
-    back — no HBM-materialized window layout at all.
+                  num_heads, head_dim, nwin, ws, dc, mask_mode, eps=1e-5):
+    """Strip-I/O fused Swin half-block with the cyclic roll folded into its
+    reads: the two s-row input refs (modular index maps, like roll2d_pallas)
+    assemble one ws-row strip of the ROLLED tensor; columns rotate in VMEM.
+    Then LN -> qkv -> window attention -> proj -> +residual, written back in
+    the rolled frame — the caller tracks frames and never materializes a
+    rolled copy in HBM.
 
-    Attention is head-STACKED: per window one (H*N, C) x (N, C)^T logits
-    dot (key-major, so softmax normalizes rows within each head block) and
-    one AV dot contracting the stacked (H*N) rows of both operands — the
-    orthogonal head masks make the row-block sum equal the per-head concat.
-    Two MXU dots with M/K = H*N instead of 2*H dots with M = N; measured
-    faster than the per-head loop (git history).
+    Attention is head-stacked and QUERY-major: logits = q @ [k_h]^T over all
+    heads at once — one (N, C) x (C, H*N) dot whose MXU N-dim is H*N (384
+    for SwinIR-M) instead of the half-utilized 64-lane key-major layout; AV
+    contracts the stacked (H*N) columns against stacked values.
+
+    mask_mode: 0 = none, 1 = full per-window mask (wmask (nwin, N, N)),
+    2 = edge bank (wmask (2, N, N): [interior-or-row-edge, col-edge] — the
+    row-edge choice is made by the index map, the col edge statically by
+    window position). Bank mode exists because a whole-image canvas has
+    O(HW) windows but only 4 distinct cyclic-shift mask patterns.
     """
     c = num_heads * head_dim
     n = ws * ws
+    w = a_ref.shape[3]
     scale = head_dim ** -0.5
 
+    # assemble the (ws, W, C) strip of the rolled tensor
+    rows = jnp.concatenate([a_ref[0, 0], b_ref[0, 0]], axis=0)
+    if dc < 0:
+        rows = jnp.concatenate([rows[:, -dc:], rows[:, :-dc]], axis=1)
+    elif dc > 0:
+        rows = jnp.concatenate([rows[:, w - dc:], rows[:, :w - dc]], axis=1)
+
     # windowize into scratch (nwin*n, C)
-    for w in range(nwin):
-        slab = x_ref[0, 0, :, w * ws:(w + 1) * ws, :]
-        xw_ref[w * n:(w + 1) * n, :] = slab.reshape(n, c)
+    for wi in range(nwin):
+        slab = rows[:, wi * ws:(wi + 1) * ws, :]
+        xw_ref[wi * n:(wi + 1) * n, :] = slab.reshape(n, c)
 
     # LN all windows
     xf = xw_ref[:].astype(jnp.float32)
@@ -263,105 +277,137 @@ def _strip_kernel(x_ref, lnw_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
 
     # separate q/k/v projections for the whole strip: three aligned
     # (nwin*N, C) scratches — no unaligned 3C column slicing per window
-    for dst, w_ref, b_ref in ((q_ref, wq_ref, bq_ref),
-                              (k_ref, wk_ref, bk_ref),
-                              (v_ref, wv_ref, bv_ref)):
+    for dst, w_ref, b_ref2 in ((q_ref, wq_ref, bq_ref),
+                               (k_ref, wk_ref, bk_ref),
+                               (v_ref, wv_ref, bv_ref)):
         dst[:] = (jax.lax.dot_general(
             y, w_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-            + b_ref[:][None, :]).astype(dst.dtype)
+            + b_ref2[:][None, :]).astype(dst.dtype)
 
-    for w in range(nwin):
-        q = q_ref[w * n:(w + 1) * n, :]
-        k = k_ref[w * n:(w + 1) * n, :]
-        v = v_ref[w * n:(w + 1) * n, :]
+    for wi in range(nwin):
+        q = q_ref[wi * n:(wi + 1) * n, :]
+        k = k_ref[wi * n:(wi + 1) * n, :]
+        v = v_ref[wi * n:(wi + 1) * n, :]
         km = jnp.concatenate(
             [k * hmask_ref[h][None, :] for h in range(num_heads)], axis=0)
-        # key-major logits for all heads at once: lgt[h*N+j, i]
-        lgt = jax.lax.dot_general(
-            km, q, (((1,), (1,)), ((), ())),
+        # query-major logits, all heads stacked in lanes: lg[i, h*N+j]
+        lg = jax.lax.dot_general(
+            q, km, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        lgt = lgt + rpbt_ref[:]
-        # softmax over keys = over rows within each head block
-        pts = []
+        lg = lg + rpbq_ref[:]
+        if mask_mode == 1:
+            wm = wmask_ref[wi]
+        elif mask_mode == 2:
+            wm = wmask_ref[1 if wi == nwin - 1 else 0]
+        # softmax over keys = within each head's lane block
+        ps = []
         for h in range(num_heads):
-            blk = lgt[h * n:(h + 1) * n, :]
-            if use_wmask:
-                blk = blk + wmaskt_ref[w]
-            mx = jnp.max(blk, axis=0, keepdims=True)
+            blk = lg[:, h * n:(h + 1) * n]
+            if mask_mode:
+                blk = blk + wm
+            mx = jnp.max(blk, axis=1, keepdims=True)
             e = jnp.exp(blk - mx)
-            pts.append(e / jnp.sum(e, axis=0, keepdims=True))
-        pt = jnp.concatenate(pts, axis=0).astype(v.dtype)  # (H*N, N)
+            ps.append(e / jnp.sum(e, axis=1, keepdims=True))
+        p = jnp.concatenate(ps, axis=1).astype(v.dtype)  # (N, H*N)
         vm = jnp.concatenate(
             [v * hmask_ref[h][None, :] for h in range(num_heads)], axis=0)
         out_w = jax.lax.dot_general(
-            pt, vm, (((0,), (0,)), ((), ())),
+            p, vm, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (N, C) = sum of heads
-        attn_ref[w * n:(w + 1) * n, :] = out_w.astype(attn_ref.dtype)
+        attn_ref[wi * n:(wi + 1) * n, :] = out_w.astype(attn_ref.dtype)
 
     # projection + residual, then de-windowize back to the strip
     proj = jax.lax.dot_general(
         attn_ref[:], wproj_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + bproj_ref[:][None, :]
     res = (proj + xw_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
-    for w in range(nwin):
-        out_ref[0, 0, :, w * ws:(w + 1) * ws, :] = \
-            res[w * n:(w + 1) * n, :].reshape(ws, ws, c)
+    for wi in range(nwin):
+        out_ref[0, 0, :, wi * ws:(wi + 1) * ws, :] = \
+            res[wi * n:(wi + 1) * n, :].reshape(ws, ws, c)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "ws", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "ws", "dc",
+                                             "interpret"))
 def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                       rpb, mask=None, num_heads: int = 6, ws: int = 8,
-                      interpret: bool = False):
-    """Fused Swin attention half-block over (B, H, W, C) directly.
+                      dc: int = 0, mask_bank=None, interpret: bool = False):
+    """Fused Swin attention half-block over (B, H, W, C) directly, with an
+    optional folded cyclic roll.
 
-    Equivalent to window_partition -> wmsa_block_pallas -> window_reverse,
-    with the windowizing done in VMEM (one grid step per window-row strip).
-    H and W must be multiples of ws. ``mask`` is the (nW, N, N) shift mask
-    for the full (H, W) canvas or None; the caller still rolls for shifted
-    blocks.
+    Equivalent to ``roll2d(x, dc) |> partition |> wmsa_block |> reverse``,
+    with windowizing AND the roll done in VMEM (one grid step per window-row
+    strip of the output frame). H and W must be multiples of ws;
+    dc in {0, +ws//2, -ws//2}.
+
+    Masks (both optional, mutually exclusive; defined on the OUTPUT frame):
+    - ``mask``: full (nW, N, N) shift mask for the (H, W) canvas,
+    - ``mask_bank``: (2, 2, N, N) canonical cyclic-shift patterns indexed
+      [is_last_window_row, is_last_window_col] — O(1) memory for any canvas
+      (build with ``shift_attention_mask(2*ws, 2*ws, ws, ws//2)``).
     """
     b, h, w, c = x.shape
+    s = ws // 2
     assert h % ws == 0 and w % ws == 0
+    assert dc in (0, s, -s)
+    assert mask is None or mask_bank is None
     nwin = w // ws
     n = ws * ws
     hd = c // num_heads
-    strips = b * (h // ws)
+    rows_per_img = h // ws
+    strips = b * rows_per_img
+    groups = 2 * rows_per_img
 
     head_mask = np.zeros((num_heads, c), np.float32)
     for hh in range(num_heads):
         head_mask[hh, hh * hd:(hh + 1) * hd] = 1.0
     hmask = jnp.asarray(head_mask, dtype=x.dtype)
 
-    # key-major (transposed) rel-pos bias: rpbt[h*N+j, i] = rpb[h, i, j]
-    rpbt = jnp.transpose(rpb.astype(jnp.float32), (0, 2, 1)) \
-        .reshape(num_heads * n, n)
+    # query-major rel-pos bias: rpbq[i, h*N+j] = rpb[h, i, j]
+    rpbq = jnp.transpose(rpb.astype(jnp.float32), (1, 0, 2)) \
+        .reshape(n, num_heads * n)
 
-    use_wmask = mask is not None
-    rows_per_img = h // ws
-    if use_wmask:
-        maskt = jnp.transpose(mask.astype(jnp.float32), (0, 2, 1))
-        maskt4 = maskt.reshape(rows_per_img, nwin, n, n)
+    if mask is not None:
+        mask_mode = 1
+        mask4 = mask.astype(jnp.float32).reshape(rows_per_img, nwin, n, n)
         wmask_spec = pl.BlockSpec(
             (1, nwin, n, n), lambda i: (i % rows_per_img, 0, 0, 0),
             memory_space=pltpu.VMEM)
-        wmask_arg = maskt4
+        wmask_arg = mask4
+    elif mask_bank is not None:
+        mask_mode = 2
+        wmask_arg = mask_bank.astype(jnp.float32)  # (2, 2, n, n)
+        wmask_spec = pl.BlockSpec(
+            (1, 2, n, n),
+            lambda i: (((i % rows_per_img) + 1) // rows_per_img, 0, 0, 0),
+            memory_space=pltpu.VMEM)
     else:
+        mask_mode = 0
         wmask_arg = jnp.zeros((1, 1, n, n), jnp.float32)
         wmask_spec = pl.BlockSpec((1, 1, n, n), lambda i: (0, 0, 0, 0),
                                   memory_space=pltpu.VMEM)
 
-    xs = x.reshape(strips, 1, ws, w, c)
+    # s-row input groups; output strip r of image img reads groups
+    # (2r + d0, 2r + d0 + 1) mod groups where d0 = -dc/s
+    xg = x.reshape(b * groups, 1, s, w, c)
+    d0 = -dc // s if dc else 0
+
+    def idx(off):
+        def f(i):
+            img, r = i // rows_per_img, i % rows_per_img
+            return (img * groups + (2 * r + off) % groups, 0, 0, 0, 0)
+        return f
+
     wqkv_x = wqkv.astype(x.dtype)
     bqkv_f = bqkv.astype(jnp.float32)
 
-    def kernel(x_ref, lnw, lnb, wq, wk, wv, bq, bk, bv, wp, bp,
-               rpbt_ref, hm, wmt, out_ref, xw_s, q_s, k_s, v_s, attn_s):
-        _strip_kernel(x_ref, lnw, lnb, wq, wk, wv, bq, bk, bv, wp, bp,
-                      rpbt_ref, hm, wmt[0], out_ref,
+    def kernel(a_ref, b_ref, lnw, lnb, wq, wk, wv, bq, bk, bv, wp, bp,
+               rpbq_ref, hm, wmt, out_ref, xw_s, q_s, k_s, v_s, attn_s):
+        _strip_kernel(a_ref, b_ref, lnw, lnb, wq, wk, wv, bq, bk, bv, wp,
+                      bp, rpbq_ref, hm, wmt[0], out_ref,
                       xw_s, q_s, k_s, v_s, attn_s,
                       num_heads=num_heads, head_dim=hd, nwin=nwin, ws=ws,
-                      use_wmask=use_wmask)
+                      dc=dc, mask_mode=mask_mode)
 
     def rep(shape):
         nd = len(shape)
@@ -372,13 +418,15 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         kernel,
         grid=(strips,),
         in_specs=[
-            pl.BlockSpec((1, 1, ws, w, c), lambda i: (i, 0, 0, 0, 0),
+            pl.BlockSpec((1, 1, s, w, c), idx(d0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, w, c), idx(d0 + 1),
                          memory_space=pltpu.VMEM),
             rep((c,)), rep((c,)),
             rep((c, c)), rep((c, c)), rep((c, c)),
             rep((c,)), rep((c,)), rep((c,)),
             rep((c, c)), rep((c,)),
-            rep((num_heads * n, n)),
+            rep((n, num_heads * n)),
             rep((num_heads, c)),
             wmask_spec,
         ],
@@ -395,13 +443,13 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         # f32 strips at W=256/C=180 push scoped VMEM past the 16MB
         # default limit; v5e has headroom.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=40 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(xs, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
+    )(xg, xg, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
       wqkv_x[:, :c], wqkv_x[:, c:2 * c], wqkv_x[:, 2 * c:],
       bqkv_f[:c], bqkv_f[c:2 * c], bqkv_f[2 * c:],
       wproj.astype(x.dtype), bproj.astype(jnp.float32),
-      rpbt, hmask, wmask_arg)
+      rpbq, hmask, wmask_arg)
     return out.reshape(b, h, w, c)
 
 

@@ -1,0 +1,155 @@
+"""Strip-kernel v2 (folded roll + query-major logits + edge-mask bank):
+CPU interpret-mode equivalence against the XLA reference paths."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_restoration_agent_tpu.models import build_model
+from image_restoration_agent_tpu.ops.pallas_attention import (
+    roll2d_pallas, swin_strip_pallas)
+from image_restoration_agent_tpu.ops.window_attention import (
+    relative_position_index, shift_attention_mask)
+
+pytestmark = pytest.mark.slow
+
+WS = 4
+S = WS // 2
+N = WS * WS
+C = 8
+HEADS = 2
+
+
+def _strip_args(rng, h, w):
+    x = jnp.asarray(rng.standard_normal((1, h, w, C), dtype=np.float32))
+    ln_s = jnp.asarray(rng.standard_normal(C).astype(np.float32)) * 0.1 + 1
+    ln_b = jnp.asarray(rng.standard_normal(C).astype(np.float32)) * 0.1
+    wqkv = jnp.asarray(rng.standard_normal((C, 3 * C)).astype(np.float32))
+    bqkv = jnp.asarray(rng.standard_normal(3 * C).astype(np.float32))
+    wproj = jnp.asarray(rng.standard_normal((C, C)).astype(np.float32))
+    bproj = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+    table = jnp.asarray(
+        rng.standard_normal(((2 * WS - 1) ** 2, HEADS)).astype(np.float32))
+    idx = jnp.asarray(relative_position_index(WS).reshape(-1))
+    rpb = table[idx].reshape(N, N, HEADS).transpose(2, 0, 1)
+    return x, (ln_s, ln_b, wqkv, bqkv, wproj, bproj, rpb)
+
+
+def _bank():
+    m = shift_attention_mask(2 * WS, 2 * WS, WS, S)
+    return jnp.asarray(m.reshape(2, 2, N, N))
+
+
+class TestMaskBank:
+    def test_bank_expands_to_full_mask_any_canvas(self):
+        """The 4 canonical patterns tile any (H, W) canvas's full mask."""
+        bank = np.asarray(_bank())
+        for h, w in ((4 * WS, 6 * WS), (2 * WS, 2 * WS), (5 * WS, 3 * WS)):
+            full = shift_attention_mask(h, w, WS, S)
+            rows, cols = h // WS, w // WS
+            full = full.reshape(rows, cols, N, N)
+            for r in range(rows):
+                for c in range(cols):
+                    want = bank[int(r == rows - 1), int(c == cols - 1)]
+                    np.testing.assert_array_equal(full[r, c], want)
+
+
+class TestStripKernelV2:
+    def test_dc0_matches_legacy_full_mask(self, rng):
+        """Query-major kernel with a full mask == same kernel with the edge
+        bank (the masks are equivalent by TestMaskBank)."""
+        x, ps = _strip_args(rng, 4 * WS, 6 * WS)
+        full = jnp.asarray(shift_attention_mask(4 * WS, 6 * WS, WS, S))
+        a = swin_strip_pallas(x, *ps, full, num_heads=HEADS, ws=WS,
+                              interpret=True)
+        b = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                              mask_bank=_bank(), interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_folded_roll_equals_explicit_roll(self, rng):
+        """strip(x, dc) == strip(roll(x, dc)) for both directions."""
+        x, ps = _strip_args(rng, 4 * WS, 4 * WS)
+        for dc in (-S, S):
+            want = swin_strip_pallas(
+                jnp.roll(x, (dc, dc), axis=(1, 2)), *ps, None,
+                num_heads=HEADS, ws=WS, interpret=True)
+            got = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                    dc=dc, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-5)
+
+    def test_matches_unfused_reference(self, rng):
+        """Kernel == LN -> qkv -> window attention -> proj -> +residual in
+        plain jnp (shifted case with the edge bank)."""
+        from image_restoration_agent_tpu.ops.window_attention import (
+            window_attention, window_partition, window_reverse)
+
+        h, w = 4 * WS, 6 * WS
+        x, (ln_s, ln_b, wqkv, bqkv, wproj, bproj, rpb) = \
+            _strip_args(rng, h, w)
+        table_like = None  # window_attention takes the raw table
+        # rebuild the raw table from rpb is awkward; instead compute the
+        # reference directly with einsum using rpb
+        full_mask = jnp.asarray(shift_attention_mask(h, w, WS, S))
+
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * ln_s + ln_b
+        yw = window_partition(y, WS).reshape(-1, N, C)
+        qkv = yw @ wqkv + bqkv
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hd = C // HEADS
+
+        def heads_of(t):
+            return t.reshape(-1, N, HEADS, hd).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = heads_of(q), heads_of(k), heads_of(v)
+        lg = jnp.einsum("bhnd,bhmd->bhnm", qh, kh) * hd ** -0.5
+        lg = lg + rpb[None]
+        nw = full_mask.shape[0]
+        lg = lg + jnp.tile(full_mask[:, None], (yw.shape[0] // nw, 1, 1, 1))
+        p = jax.nn.softmax(lg, axis=-1)
+        o = jnp.einsum("bhnm,bhmd->bhnd", p, vh).transpose(0, 2, 1, 3)
+        o = o.reshape(-1, N, C)
+        xw_raw = window_partition(x, WS).reshape(-1, N, C)  # pre-norm shortcut
+        o = xw_raw + o @ wproj + bproj
+        want = window_reverse(o.reshape(-1, WS, WS, C), WS, h, w)
+
+        got = swin_strip_pallas(
+            x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, rpb, None,
+            num_heads=HEADS, ws=WS, mask_bank=_bank(), interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-5)
+
+
+class TestModelFramesPath:
+    def test_pallas_block_model_matches_xla(self, rng):
+        """Whole tiny SwinIR through the strip+frames path (interpret) ==
+        the XLA path, on a shape with shifts (min(h,w) > ws)."""
+        from image_restoration_agent_tpu.models import swinir as sw
+        from image_restoration_agent_tpu.ops import pallas_attention as pa
+
+        orig = (sw.swin_strip_pallas, sw.mlp_block_pallas, sw.roll2d_pallas)
+        try:
+            sw.swin_strip_pallas = functools.partial(
+                pa.swin_strip_pallas, interpret=True)
+            sw.mlp_block_pallas = functools.partial(
+                pa.mlp_block_pallas, interpret=True)
+            sw.roll2d_pallas = functools.partial(
+                pa.roll2d_pallas, interpret=True)
+
+            m_x = build_model("swinir_tiny", attention_impl="xla")
+            m_p = build_model("swinir_tiny", attention_impl="pallas_block")
+            x = jnp.asarray(rng.random((1, 16, 24, 3), dtype=np.float32))
+            p = m_x.init(jax.random.PRNGKey(0), x)
+            out_x = m_x.apply(p, x)
+            out_p = m_p.apply(p, x)
+            np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                                       atol=2e-5)
+        finally:
+            (sw.swin_strip_pallas, sw.mlp_block_pallas,
+             sw.roll2d_pallas) = orig
