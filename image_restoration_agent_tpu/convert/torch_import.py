@@ -825,3 +825,112 @@ def xrestormer_rules() -> list[Rule]:
         rules.append((rf"{name}\.weight", rf"{name}/Conv_0/kernel", t_conv))
         rules.append((rf"{name}\.bias", rf"{name}/Conv_0/bias", t_id))
     return rules
+
+
+def _resblock_rules(src: str, dst: str) -> list[Rule]:
+    """RIDCP pre-act GN ResBlock (ridcp_utils.py:65-85): Sequential
+    [NormLayer, Act, Conv, NormLayer, Act, Conv] under .conv."""
+    return [
+        (rf"{src}\.conv\.0\.norm\.weight", rf"{dst}/gn1/scale", t_id),
+        (rf"{src}\.conv\.0\.norm\.bias", rf"{dst}/gn1/bias", t_id),
+        (rf"{src}\.conv\.2\.weight", rf"{dst}/c1/Conv_0/kernel", t_conv),
+        (rf"{src}\.conv\.2\.bias", rf"{dst}/c1/Conv_0/bias", t_id),
+        (rf"{src}\.conv\.3\.norm\.weight", rf"{dst}/gn2/scale", t_id),
+        (rf"{src}\.conv\.3\.norm\.bias", rf"{dst}/gn2/bias", t_id),
+        (rf"{src}\.conv\.5\.weight", rf"{dst}/c2/Conv_0/kernel", t_conv),
+        (rf"{src}\.conv\.5\.bias", rf"{dst}/c2/Conv_0/bias", t_id),
+    ]
+
+
+def _rstb_rules(src: str, dst: str) -> list[Rule]:
+    """network_swinir RSTB internals -> models/swinir.RSTB (same leaf map
+    as swinir_rules' per-block section)."""
+    L = rf"{src}\.residual_group\.blocks\.(\d+)"
+    D = rf"{dst}/block\1"
+    rules: list[Rule] = [
+        (rf"{L}\.norm1\.weight", rf"{D}/attn/norm_scale", t_id),
+        (rf"{L}\.norm1\.bias", rf"{D}/attn/norm_bias", t_id),
+        (rf"{L}\.norm2\.weight", rf"{D}/norm2_scale", t_id),
+        (rf"{L}\.norm2\.bias", rf"{D}/norm2_bias", t_id),
+        (rf"{L}\.attn\.relative_position_bias_table",
+         rf"{D}/attn/relative_position_bias_table", t_id),
+        (rf"{L}\.attn\.qkv\.weight", rf"{D}/attn/qkv_kernel", t_linear),
+        (rf"{L}\.attn\.qkv\.bias", rf"{D}/attn/qkv_bias_p", t_id),
+        (rf"{L}\.attn\.proj\.weight", rf"{D}/attn/proj_kernel", t_linear),
+        (rf"{L}\.attn\.proj\.bias", rf"{D}/attn/proj_bias_p", t_id),
+        (rf"{L}\.mlp\.fc1\.weight", rf"{D}/fc1_kernel", t_linear),
+        (rf"{L}\.mlp\.fc1\.bias", rf"{D}/fc1_bias", t_id),
+        (rf"{L}\.mlp\.fc2\.weight", rf"{D}/fc2_kernel", t_linear),
+        (rf"{L}\.mlp\.fc2\.bias", rf"{D}/fc2_bias", t_id),
+        (rf"{L}\.attn\.relative_position_index", "", _drop),
+        (rf"{L}\.attn_mask", "", _drop),
+        (rf"{src}\.conv\.weight", rf"{dst}/conv/Conv_0/kernel", t_conv),
+        (rf"{src}\.conv\.bias", rf"{dst}/conv/Conv_0/bias", t_id),
+    ]
+    return rules
+
+
+def ridcp_rules(max_depth: int = 2, swin_blocks: int = 4) -> list[Rule]:
+    """Reference RIDCP names (dehaze_vq_weight_arch.py, single-scale
+    codebook VQWeightDehazeNet) -> models/ridcp.py."""
+    rules: list[Rule] = [
+        (r"multiscale_encoder\.in_conv\.weight", r"in_conv/kernel", t_conv),
+        (r"multiscale_encoder\.in_conv\.bias", r"in_conv/bias", t_id),
+        (r"before_quant_group\.0\.weight", r"before_quant/Conv_0/kernel",
+         t_conv),
+        (r"before_quant_group\.0\.bias", r"before_quant/Conv_0/bias", t_id),
+        (r"quantize_group\.0\.embedding\.weight", r"quantize/codebook",
+         t_id),
+        (r"quantize_group\.0\.weight", r"quantize/hq_weight", t_id),
+        (r"after_quant_group\.0\.conv\.weight", r"after_quant/Conv_0/kernel",
+         t_conv),
+        (r"after_quant_group\.0\.conv\.bias", r"after_quant/Conv_0/bias",
+         t_id),
+        (r"out_conv\.weight", r"out_conv/Conv_0/kernel", t_conv),
+        (r"out_conv\.bias", r"out_conv/Conv_0/bias", t_id),
+        (r"residual_conv\.weight", r"residual_conv/Conv_0/kernel", t_conv),
+        (r"residual_conv\.bias", r"residual_conv/Conv_0/bias", t_id),
+    ]
+    for i in range(max_depth):
+        enc = rf"multiscale_encoder\.blocks\.{i}"
+        rules += [
+            (rf"{enc}\.0\.weight", rf"enc{i}_down/Conv_0/kernel", t_conv),
+            (rf"{enc}\.0\.bias", rf"enc{i}_down/Conv_0/bias", t_id),
+        ]
+        rules += _resblock_rules(rf"{enc}\.1", rf"enc{i}_res0")
+        rules += _resblock_rules(rf"{enc}\.2", rf"enc{i}_res1")
+
+        dec = rf"decoder_group\.{i}\.block"
+        rules += [
+            (rf"{dec}\.1\.weight", rf"dec{i}_conv/Conv_0/kernel", t_conv),
+            (rf"{dec}\.1\.bias", rf"dec{i}_conv/Conv_0/bias", t_id),
+        ]
+        rules += _resblock_rules(rf"{dec}\.2", rf"dec{i}_res0")
+        rules += _resblock_rules(rf"{dec}\.3", rf"dec{i}_res1")
+
+        up = rf"multiscale_decoder\.upsampler\.{i}"
+        rules += [
+            (rf"{up}\.1\.weight", rf"resid{i}_conv/Conv_0/kernel", t_conv),
+            (rf"{up}\.1\.bias", rf"resid{i}_conv/Conv_0/bias", t_id),
+        ]
+        rules += _resblock_rules(rf"{up}\.2", rf"resid{i}_res0")
+        rules += _resblock_rules(rf"{up}\.3", rf"resid{i}_res1")
+
+        warp = rf"multiscale_decoder\.warp\.{i}"
+        rules += [
+            (rf"{warp}\.offset\.weight", rf"warp{i}/offset_feat/Conv_0/kernel",
+             t_conv),
+            (rf"{warp}\.offset\.bias", rf"warp{i}/offset_feat/Conv_0/bias",
+             t_id),
+            (rf"{warp}\.dcn\.conv_offset\.weight",
+             rf"warp{i}/conv_offset/Conv_0/kernel", t_conv),
+            (rf"{warp}\.dcn\.conv_offset\.bias",
+             rf"warp{i}/conv_offset/Conv_0/bias", t_id),
+            (rf"{warp}\.dcn\.weight", rf"warp{i}/dcn_kernel", t_conv),
+            (rf"{warp}\.dcn\.bias", rf"warp{i}/dcn_bias", t_id),
+        ]
+    for i in range(swin_blocks):
+        rules += _rstb_rules(
+            rf"multiscale_encoder\.blocks\.{max_depth}\.swin_blks\.{i}",
+            rf"enc_swin{i}")
+    return rules

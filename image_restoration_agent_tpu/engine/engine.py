@@ -116,8 +116,9 @@ class Engine:
     # ---------------- inference ----------------
 
     def _pipeline(self, name: str, h: int, w: int,
-                  tile: Optional[int], overlap: int, batch: int):
-        key = (name, h, w, tile, overlap, batch)
+                  tile: Optional[int], overlap: int, batch: int,
+                  ensemble_times: int = 0):
+        key = (name, h, w, tile, overlap, batch, ensemble_times)
         fn = self._jit_cache.get(key)
         if fn is None:
             spec = get_spec(name)
@@ -127,12 +128,29 @@ class Engine:
                 x = batch_tiles.astype(self.param_dtype)
                 return model.apply(params, x).astype(jnp.float32)
 
-            def pipeline(params, img):
+            def one(params, img):
                 return tiled_apply(
                     lambda b: fwd(params, b), img, tile=tile,
                     overlap=overlap, scale=spec.scale, batch=batch,
                     pad_multiple=spec.pad_multiple, pad_mode=spec.pad_mode,
                     pad_kind=spec.pad_kind)
+
+            def pipeline(params, img):
+                # geometric self-ensemble x4/x8: average over rotations
+                # (+ flips), inverse-transformed back (reference MAXIM
+                # serving augment_image/deaugment_image :123-163)
+                if not ensemble_times:
+                    return one(params, img)
+                outs = []
+                for k in range(4):
+                    outs.append(jnp.rot90(one(params, jnp.rot90(img, k)),
+                                          4 - k))
+                if ensemble_times == 8:
+                    f = jnp.fliplr(img)
+                    for k in range(4):
+                        outs.append(jnp.fliplr(
+                            jnp.rot90(one(params, jnp.rot90(f, k)), 4 - k)))
+                return sum(outs) / len(outs)
 
             fn = jax.jit(pipeline)
             self._jit_cache[key] = fn
@@ -141,19 +159,31 @@ class Engine:
     def restore_array(self, img: np.ndarray, model_name: str,
                       tile: Optional[int] = "auto",
                       overlap: Optional[int] = None,
-                      batch: Optional[int] = None) -> RestorationResult:
+                      batch: Optional[int] = None,
+                      ensemble: bool = False,
+                      ensemble_times: int = 8) -> RestorationResult:
         """Restore a float [0,1] (H, W, 3) array. Pads to the shape-bucket
-        grid so arbitrary sizes reuse compiled programs."""
+        grid so arbitrary sizes reuse compiled programs.
+
+        ensemble: geometric self-ensemble (x4 rotations / x8 with flips),
+        the reference MAXIM serving's opt-in `geometric_ensemble` flag.
+        """
         spec = get_spec(model_name)
+        h0, w0 = img.shape[:2]
         if tile == "auto":
             tile = spec.tile
+            # whole-image-vs-tile switch (reference RIDCP max_size=1500)
+            if tile is None and spec.max_size is not None \
+                    and max(h0, w0) > spec.max_size:
+                tile = spec.fallback_tile
+                if overlap is None:
+                    overlap = 16  # reference test_tile tile_pad
         if overlap is None:
             overlap = spec.tile_overlap
         if batch is None:
             batch = self.default_batch
 
         t0 = time.perf_counter()
-        h0, w0 = img.shape[:2]
         hb = _bucket(h0, self.shape_bucket, spec.pad_multiple)
         wb = _bucket(w0, self.shape_bucket, spec.pad_multiple)
         if (hb, wb) != (h0, w0):
@@ -163,7 +193,8 @@ class Engine:
                          mode=pad_kind)
 
         params = self.store.get(model_name)
-        fn = self._pipeline(model_name, hb, wb, tile, overlap, batch)
+        fn = self._pipeline(model_name, hb, wb, tile, overlap, batch,
+                            ensemble_times if ensemble else 0)
         out = fn(params, jnp.asarray(img, jnp.float32))
         out = np.asarray(jax.device_get(out))
         out = out[: h0 * spec.scale, : w0 * spec.scale]

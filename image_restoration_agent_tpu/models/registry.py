@@ -23,6 +23,15 @@ class ModelSpec:
     pad_kind: str = "reflect"           # border fill
     tile: int | None = None             # default tile size (None = whole image)
     tile_overlap: int = 32
+    # whole-image-vs-tile switch: images whose longest side exceeds
+    # max_size fall back to fallback_tile (reference: RIDCP serves whole
+    # below max_size=1500, else test_tile(tile_size=240, tile_pad=16) —
+    # model_services.yaml:53, dehaze_vq_weight_arch.py test_tile)
+    max_size: int | None = None
+    fallback_tile: int = 240
+    # geometric self-ensemble: average the model over the 8 dihedral
+    # flips/rotations (reference MAXIM serving model_serving.py:123-163)
+    self_ensemble: bool = False
     config: dict = dataclasses.field(default_factory=dict)
 
 

@@ -10,10 +10,9 @@ detail, aligning the code-decoder features to it at each scale with DCNv2
 warp blocks (WarpBlock:241 — the reference's only CUDA op, rebuilt in
 ops/dcn.py) and the mean-ratio fusion ``x + x_vq * (mean(x)/mean(x_vq))``.
 
-Pre-activation GroupNorm(32) ResBlocks throughout; in_conv kernel 4 is
-padded (1, 2) here so shapes stay exact multiples (the reference's (1, 1)
-padding loses one row/col and relies on floor arithmetic downstream —
-documented divergence affecting only the last border pixel).
+Pre-activation GroupNorm(32) ResBlocks throughout; in_conv follows torch's
+kernel-4/(1,1)-padding exactly (H -> H-1, floored back by the stride-2
+convs), so converted checkpoints reproduce the reference bit-for-bit.
 """
 
 from __future__ import annotations
@@ -101,11 +100,12 @@ class WarpBlock(nn.Module):
         raw = Conv(3 * self.deformable_groups * 9, kernel=3,
                    name="conv_offset")(feat)
         o1, o2, m = jnp.split(raw, 3, axis=-1)
-        # torch layout: offsets interleave (dy, dx) per (g, tap)
-        g, kk = self.deformable_groups, 9
-        off = jnp.stack([o1.reshape(*o1.shape[:-1], g, kk),
-                         o2.reshape(*o2.shape[:-1], g, kk)], axis=-1)
-        off = off.reshape(*o1.shape[:-1], g * kk * 2)
+        # DCNv2Pack concatenates (o1, o2) verbatim and the CUDA kernel then
+        # reads the result with (group, tap, [dy, dx]) nesting
+        # (deform_conv_cuda_kernel.cu:216-225) — so the trained checkpoint's
+        # o1 holds BOTH dy and dx for the first half of the groups, not
+        # "all dy". Pass the same concatenated layout through.
+        off = jnp.concatenate([o1, o2], axis=-1)
         mask = nn.sigmoid(m)
         w = self.param("dcn_kernel", nn.initializers.normal(0.02),
                        (3, 3, c, c))
@@ -134,6 +134,7 @@ class RIDCP(nn.Module):
     swin_blocks: int = 4
     swin_depth: int = 6
     swin_heads: int = 8
+    act: str = "silu"  # VQWeightDehazeNet act_type default (SiLU ResBlocks)
     channels: Optional[dict] = None
 
     @nn.compact
@@ -142,14 +143,17 @@ class RIDCP(nn.Module):
         res0 = self.gt_res
 
         # ---------------- encoder ----------------
-        y = nn.Conv(cq[res0], (4, 4), padding=[(1, 2), (1, 2)],
+        # exact torch semantics: kernel 4 with (1, 1) padding loses one
+        # row/col (H -> H-1); the stride-2 convs floor it back so every
+        # later shape matches the reference bit-for-bit
+        y = nn.Conv(cq[res0], (4, 4), padding=[(1, 1), (1, 1)],
                     name="in_conv")(x)
         res = res0
         for i in range(self.max_depth):
             out_ch = cq[res // 2]
             y = Conv(out_ch, kernel=3, stride=2, name=f"enc{i}_down")(y)
-            y = GNResBlock(out_ch, name=f"enc{i}_res0")(y)
-            y = GNResBlock(out_ch, name=f"enc{i}_res1")(y)
+            y = GNResBlock(out_ch, act=self.act, name=f"enc{i}_res0")(y)
+            y = GNResBlock(out_ch, act=self.act, name=f"enc{i}_res1")(y)
             res //= 2
         for i in range(self.swin_blocks):
             y = RSTB(cq[res], self.swin_depth, self.swin_heads, 8,
@@ -170,8 +174,8 @@ class RIDCP(nn.Module):
             out_ch = cq[dres * 2]
             y = _up2(y)
             y = Conv(out_ch, kernel=3, name=f"dec{i}_conv")(y)
-            y = GNResBlock(out_ch, name=f"dec{i}_res0")(y)
-            y = GNResBlock(out_ch, name=f"dec{i}_res1")(y)
+            y = GNResBlock(out_ch, act=self.act, name=f"dec{i}_res0")(y)
+            y = GNResBlock(out_ch, act=self.act, name=f"dec{i}_res1")(y)
             code_outputs.append(y)
             dres *= 2
         out_img = Conv(3, kernel=3, name="out_conv")(y)
@@ -183,8 +187,8 @@ class RIDCP(nn.Module):
             out_ch = cq[rres * 2]
             r = _up2(r)
             r = Conv(out_ch, kernel=3, name=f"resid{i}_conv")(r)
-            r = GNResBlock(out_ch, name=f"resid{i}_res0")(r)
-            r = GNResBlock(out_ch, name=f"resid{i}_res1")(r)
+            r = GNResBlock(out_ch, act=self.act, name=f"resid{i}_res0")(r)
+            r = GNResBlock(out_ch, act=self.act, name=f"resid{i}_res1")(r)
             if self.use_warp:
                 warped = WarpBlock(out_ch, name=f"warp{i}")(
                     code_outputs[i], r)
@@ -202,7 +206,8 @@ register_model(ModelSpec(
     build=lambda **kw: RIDCP(**kw),
     subtasks=("dehazing",),
     pad_multiple=8, pad_kind="reflect",
-    tile=None,  # reference: whole image below max_size=1500, else tiled
+    tile=None,  # whole image below max_size, engine falls back to tiling
+    max_size=1500, fallback_tile=240,  # model_services.yaml:53 / test_tile
     config=dict(weight_alpha=-21.25),
 ))
 

@@ -232,7 +232,8 @@ def _strip_kernel(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
                   bq_ref, bk_ref, bv_ref, wproj_ref, bproj_ref,
                   rpbq_ref, hmask_ref, wmask_ref, out_ref,
                   xw_ref, q_ref, k_ref, v_ref, attn_ref, *,
-                  num_heads, head_dim, nwin, ws, dc, mask_mode, eps=1e-5):
+                  num_heads, head_dim, nwin, ws, dc, mask_mode,
+                  attn_mode="stacked", eps=1e-5):
     """Strip-I/O fused Swin half-block with the cyclic roll folded into its
     reads: the two s-row input refs (modular index maps, like roll2d_pallas)
     assemble one ws-row strip of the ROLLED tensor; columns rotate in VMEM.
@@ -285,10 +286,40 @@ def _strip_kernel(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
             preferred_element_type=jnp.float32)
             + b_ref2[:][None, :]).astype(dst.dtype)
 
+    hp = q_ref.shape[1] // num_heads  # padded head width
     for wi in range(nwin):
         q = q_ref[wi * n:(wi + 1) * n, :]
         k = k_ref[wi * n:(wi + 1) * n, :]
         v = v_ref[wi * n:(wi + 1) * n, :]
+        if mask_mode == 1:
+            wm = wmask_ref[wi]
+        elif mask_mode == 2:
+            wm = wmask_ref[1 if wi == nwin - 1 else 0]
+        if attn_mode == "perhead":
+            # per-head 32-padded dots: the qkv weights were column-reordered
+            # and zero-padded per head at trace time, so q/k/v are already
+            # (N, H*32) head-major — aligned 32-lane slices, true-FLOP
+            # (64,32)x(32,64) dots instead of masked 180-wide contractions
+            outs = []
+            for h in range(num_heads):
+                qh = q[:, h * hp:(h + 1) * hp]
+                kh = k[:, h * hp:(h + 1) * hp]
+                vh = v[:, h * hp:(h + 1) * hp]
+                lg = jax.lax.dot_general(
+                    qh, kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                lg = lg + rpbq_ref[:, h * n:(h + 1) * n]
+                if mask_mode:
+                    lg = lg + wm
+                mx = jnp.max(lg, axis=1, keepdims=True)
+                e = jnp.exp(lg - mx)
+                p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(v.dtype)
+                outs.append(jax.lax.dot_general(
+                    p, vh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            out_w = jnp.concatenate(outs, axis=1)  # (N, H*32) head-major
+            attn_ref[wi * n:(wi + 1) * n, :] = out_w.astype(attn_ref.dtype)
+            continue
         km = jnp.concatenate(
             [k * hmask_ref[h][None, :] for h in range(num_heads)], axis=0)
         # query-major logits, all heads stacked in lanes: lg[i, h*N+j]
@@ -296,10 +327,6 @@ def _strip_kernel(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
             q, km, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         lg = lg + rpbq_ref[:]
-        if mask_mode == 1:
-            wm = wmask_ref[wi]
-        elif mask_mode == 2:
-            wm = wmask_ref[1 if wi == nwin - 1 else 0]
         # softmax over keys = within each head's lane block
         ps = []
         for h in range(num_heads):
@@ -328,10 +355,12 @@ def _strip_kernel(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "ws", "dc",
-                                             "interpret"))
+                                             "attn_mode", "interpret"))
 def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                       rpb, mask=None, num_heads: int = 6, ws: int = 8,
-                      dc: int = 0, mask_bank=None, interpret: bool = False):
+                      dc: int = 0, mask_bank=None,
+                      attn_mode: str = "stacked",
+                      interpret: bool = False):
     """Fused Swin attention half-block over (B, H, W, C) directly, with an
     optional folded cyclic roll.
 
@@ -362,6 +391,22 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     for hh in range(num_heads):
         head_mask[hh, hh * hd:(hh + 1) * hd] = 1.0
     hmask = jnp.asarray(head_mask, dtype=x.dtype)
+
+    # perhead mode: fold head padding into the weights — reorder qkv output
+    # columns to (head, padded-32) and zero-fill, reorder proj input rows to
+    # match. No in-kernel repacking; dots become aligned (N,32)x(32,N).
+    hp = hd if attn_mode == "stacked" else -(-hd // 32) * 32
+    cp = num_heads * hp
+
+    def pad_cols(wmat, bvec):
+        pw, pb = [], []
+        for hh in range(num_heads):
+            pw.append(wmat[:, hh * hd:(hh + 1) * hd])
+            pb.append(bvec[hh * hd:(hh + 1) * hd])
+            if hp > hd:
+                pw.append(jnp.zeros((c, hp - hd), wmat.dtype))
+                pb.append(jnp.zeros((hp - hd,), bvec.dtype))
+        return jnp.concatenate(pw, axis=1), jnp.concatenate(pb)
 
     # query-major rel-pos bias: rpbq[i, h*N+j] = rpb[h, i, j]
     rpbq = jnp.transpose(rpb.astype(jnp.float32), (1, 0, 2)) \
@@ -400,6 +445,21 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
 
     wqkv_x = wqkv.astype(x.dtype)
     bqkv_f = bqkv.astype(jnp.float32)
+    if attn_mode == "perhead":
+        wq_a, bq_a = pad_cols(wqkv[:, :c], bqkv[:c])
+        wk_a, bk_a = pad_cols(wqkv[:, c:2 * c], bqkv[c:2 * c])
+        wv_a, bv_a = pad_cols(wqkv[:, 2 * c:], bqkv[2 * c:])
+        pr = []
+        for hh in range(num_heads):
+            pr.append(wproj[hh * hd:(hh + 1) * hd])
+            if hp > hd:
+                pr.append(jnp.zeros((hp - hd, c), wproj.dtype))
+        wp_a = jnp.concatenate(pr, axis=0)
+    else:
+        wq_a, bq_a = wqkv_x[:, :c], bqkv_f[:c]
+        wk_a, bk_a = wqkv_x[:, c:2 * c], bqkv_f[c:2 * c]
+        wv_a, bv_a = wqkv_x[:, 2 * c:], bqkv_f[2 * c:]
+        wp_a = wproj
 
     def kernel(a_ref, b_ref, lnw, lnb, wq, wk, wv, bq, bk, bv, wp, bp,
                rpbq_ref, hm, wmt, out_ref, xw_s, q_s, k_s, v_s, attn_s):
@@ -407,7 +467,7 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                       bp, rpbq_ref, hm, wmt[0], out_ref,
                       xw_s, q_s, k_s, v_s, attn_s,
                       num_heads=num_heads, head_dim=hd, nwin=nwin, ws=ws,
-                      dc=dc, mask_mode=mask_mode)
+                      dc=dc, mask_mode=mask_mode, attn_mode=attn_mode)
 
     def rep(shape):
         nd = len(shape)
@@ -423,9 +483,9 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
             pl.BlockSpec((1, 1, s, w, c), idx(d0 + 1),
                          memory_space=pltpu.VMEM),
             rep((c,)), rep((c,)),
-            rep((c, c)), rep((c, c)), rep((c, c)),
-            rep((c,)), rep((c,)), rep((c,)),
-            rep((c, c)), rep((c,)),
+            rep((c, cp)), rep((c, cp)), rep((c, cp)),
+            rep((cp,)), rep((cp,)), rep((cp,)),
+            rep((cp, c)), rep((c,)),
             rep((n, num_heads * n)),
             rep((num_heads, c)),
             wmask_spec,
@@ -435,10 +495,10 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         out_shape=jax.ShapeDtypeStruct((strips, 1, ws, w, c), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((nwin * n, c), x.dtype),
-            pltpu.VMEM((nwin * n, c), x.dtype),
-            pltpu.VMEM((nwin * n, c), x.dtype),
-            pltpu.VMEM((nwin * n, c), x.dtype),
-            pltpu.VMEM((nwin * n, c), x.dtype),
+            pltpu.VMEM((nwin * n, cp), x.dtype),
+            pltpu.VMEM((nwin * n, cp), x.dtype),
+            pltpu.VMEM((nwin * n, cp), x.dtype),
+            pltpu.VMEM((nwin * n, cp), x.dtype),
         ],
         # f32 strips at W=256/C=180 push scoped VMEM past the 16MB
         # default limit; v5e has headroom.
@@ -446,9 +506,10 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xg, xg, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
-      wqkv_x[:, :c], wqkv_x[:, c:2 * c], wqkv_x[:, 2 * c:],
-      bqkv_f[:c], bqkv_f[c:2 * c], bqkv_f[2 * c:],
-      wproj.astype(x.dtype), bproj.astype(jnp.float32),
+      wq_a.astype(x.dtype), wk_a.astype(x.dtype), wv_a.astype(x.dtype),
+      bq_a.astype(jnp.float32), bk_a.astype(jnp.float32),
+      bv_a.astype(jnp.float32),
+      wp_a.astype(x.dtype), bproj.astype(jnp.float32),
       rpbq, hmask, wmask_arg)
     return out.reshape(b, h, w, c)
 

@@ -153,3 +153,16 @@ class TestModelFramesPath:
         finally:
             (sw.swin_strip_pallas, sw.mlp_block_pallas,
              sw.roll2d_pallas) = orig
+
+
+class TestPerHeadMode:
+    def test_perhead_matches_stacked(self, rng):
+        """attn_mode='perhead' (32-padded per-head dots via reordered
+        weights) must be numerically equivalent to the stacked mode."""
+        x, ps = _strip_args(rng, 4 * WS, 4 * WS)
+        a = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                              mask_bank=_bank(), dc=-S, interpret=True)
+        b = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                              mask_bank=_bank(), dc=-S,
+                              attn_mode="perhead", interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
