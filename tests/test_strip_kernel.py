@@ -63,10 +63,13 @@ class TestStripKernelV2:
         bank (the masks are equivalent by TestMaskBank)."""
         x, ps = _strip_args(rng, 4 * WS, 6 * WS)
         full = jnp.asarray(shift_attention_mask(4 * WS, 6 * WS, WS, S))
+        # pin one mode: this test checks mask semantics, not backends
+        # (full-mask mode always routes to stacked)
         a = swin_strip_pallas(x, *ps, full, num_heads=HEADS, ws=WS,
-                              interpret=True)
+                              attn_mode="stacked", interpret=True)
         b = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
-                              mask_bank=_bank(), interpret=True)
+                              mask_bank=_bank(), attn_mode="stacked",
+                              interpret=True)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
     def test_folded_roll_equals_explicit_roll(self, rng):
@@ -153,6 +156,32 @@ class TestModelFramesPath:
         finally:
             (sw.swin_strip_pallas, sw.mlp_block_pallas,
              sw.roll2d_pallas) = orig
+
+
+class TestPairedMode:
+    def test_paired_matches_stacked(self, rng):
+        """attn_mode='paired' (2 windows per MXU dot group, cross-window
+        logits masked by the fused bias constant) == stacked, for the
+        unshifted, shifted+bank, and folded-roll cases."""
+        x, ps = _strip_args(rng, 4 * WS, 4 * WS)
+        for dc, bank in ((0, None), (0, _bank()), (-S, _bank()), (S, None)):
+            a = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                  mask_bank=bank, dc=dc,
+                                  attn_mode="stacked", interpret=True)
+            b = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                  mask_bank=bank, dc=dc,
+                                  attn_mode="paired", interpret=True)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
+
+    def test_odd_window_count_falls_back(self, rng):
+        """nwin odd -> the paired path silently routes to stacked."""
+        x, ps = _strip_args(rng, 2 * WS, 3 * WS)
+        a = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                              attn_mode="stacked", interpret=True)
+        b = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                              attn_mode="paired", interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 class TestPerHeadMode:
