@@ -74,9 +74,10 @@ class WindowAttentionLayer(nn.Module):
     attention_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, xw, mask, dc: int = 0, mask_bank=None):
-        # xw: (nWB, N, C), pre-norm (the block shortcut); dc/mask_bank only
-        # apply on the 4D strip-kernel path (folded roll + edge-mask bank)
+    def __call__(self, xw, mask, dc: int = 0, mask_bank=None, mlp=None):
+        # xw: (nWB, N, C), pre-norm (the block shortcut); dc/mask_bank/mlp
+        # only apply on the 4D strip-kernel path (folded roll + edge-mask
+        # bank + fused MLP half-block)
         ws = self.window_size
         n = ws * ws
         c = self.dim
@@ -108,7 +109,7 @@ class WindowAttentionLayer(nn.Module):
                     xw, norm_scale, norm_bias, qkv_kernel, qkv_b,
                     proj_kernel, proj_b, rpb, mask,
                     num_heads=self.num_heads, ws=ws, dc=dc,
-                    mask_bank=mask_bank)
+                    mask_bank=mask_bank, mlp=mlp)
             nwb = xw.shape[0]
             nw = 1 if mask is None else mask.shape[0]
             g = next(gg for gg in (8, 4, 2, 1)
@@ -172,11 +173,24 @@ class SwinBlock(nn.Module):
         strip = impl == "pallas_block" and h % ws == 0 and w % ws == 0
         attn = WindowAttentionLayer(self.dim, ws, self.num_heads,
                                     attention_impl=impl, name="attn")
+
+        # MLP half-block params: raw tensors shared across backends.
+        hidden = int(self.dim * self.mlp_ratio)
+        n2_scale = self.param("norm2_scale", nn.initializers.ones, (c,))
+        n2_bias = self.param("norm2_bias", nn.initializers.zeros, (c,))
+        w1 = self.param("fc1_kernel", nn.initializers.lecun_normal(),
+                        (c, hidden))
+        b1 = self.param("fc1_bias", nn.initializers.zeros, (hidden,))
+        w2 = self.param("fc2_kernel", nn.initializers.lecun_normal(),
+                        (hidden, c))
+        b2 = self.param("fc2_bias", nn.initializers.zeros, (c,))
+
         out_frame = 0
         if strip:
             # strip kernel: windowizing happens in VMEM, no partition copy;
             # roll folded into the kernel's reads; shift masks via the
-            # 4-pattern edge bank (O(1) memory for any canvas size)
+            # 4-pattern edge bank (O(1) memory for any canvas size); the
+            # MLP half-block fused into the same kernel
             req_frame = -shift
             dc = req_frame - in_frame
             bank = None
@@ -184,8 +198,9 @@ class SwinBlock(nn.Module):
                 bank_np = shift_attention_mask(2 * ws, 2 * ws, ws, shift)
                 bank = jnp.asarray(
                     bank_np.reshape(2, 2, ws * ws, ws * ws))
-            x = attn(x, None, dc=dc, mask_bank=bank)
-            out_frame = req_frame
+            x = attn(x, None, dc=dc, mask_bank=bank,
+                     mlp=(n2_scale, n2_bias, w1, b1, w2, b2))
+            return x, req_frame
         else:
             assert in_frame == 0, "frames only flow on the strip path"
             y = x
@@ -199,17 +214,6 @@ class SwinBlock(nn.Module):
             if shift > 0:
                 y = jnp.roll(y, (shift, shift), axis=(1, 2))
             x = y
-
-        # MLP half-block: raw params shared across backends.
-        hidden = int(self.dim * self.mlp_ratio)
-        n2_scale = self.param("norm2_scale", nn.initializers.ones, (c,))
-        n2_bias = self.param("norm2_bias", nn.initializers.zeros, (c,))
-        w1 = self.param("fc1_kernel", nn.initializers.lecun_normal(),
-                        (c, hidden))
-        b1 = self.param("fc1_bias", nn.initializers.zeros, (hidden,))
-        w2 = self.param("fc2_kernel", nn.initializers.lecun_normal(),
-                        (hidden, c))
-        b2 = self.param("fc2_bias", nn.initializers.zeros, (c,))
 
         if impl == "pallas_block":
             x2d = x.reshape(-1, c)

@@ -356,11 +356,9 @@ def _strip_kernel(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
 
 def _strip_kernel_paired(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref,
                          wv_ref, bq_ref, bk_ref, bv_ref, wproj_ref,
-                         bproj_ref, bias_ref, hmask_ref, out_ref,
-                         xw_ref, q_ref, k_ref, v_ref, attn_ref,
-                         km_ref, vm_ref, lg_ref, p_ref, *,
+                         bproj_ref, bias_ref, hmask_ref, *rest,
                          num_heads, head_dim, nwin, ws, dc, chunk,
-                         interpret=False, eps=1e-5):
+                         fuse_mlp=False, interpret=False, eps=1e-5):
     """Paired-window strip kernel: 2 windows per MXU dot group.
 
     Measured ~1.4x faster than the per-window 'stacked' design on v5e: the
@@ -372,6 +370,13 @@ def _strip_kernel_paired(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref,
     shift masks are fused into one per-pair bias constant
     (bias_ref[0, is_last_pair], row-edge variant selected by index map).
     """
+    if fuse_mlp:
+        (ln2w_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         out_ref, xw_ref, q_ref, k_ref, v_ref, attn_ref,
+         km_ref, vm_ref, lg_ref, p_ref) = rest
+    else:
+        (out_ref, xw_ref, q_ref, k_ref, v_ref, attn_ref,
+         km_ref, vm_ref, lg_ref, p_ref) = rest
     c = num_heads * head_dim
     n = ws * ws
     m = 2 * n
@@ -451,7 +456,28 @@ def _strip_kernel_paired(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref,
     proj = jax.lax.dot_general(
         attn_ref[:], wproj_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + bproj_ref[:][None, :]
-    res = (proj + xw_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
+    res32 = proj + xw_ref[:].astype(jnp.float32)
+
+    if fuse_mlp:
+        # MLP half-block fused in: LN2 -> fc1 -> exact-erf GELU -> fc2 ->
+        # +residual on the attention output, still VMEM-resident (saves the
+        # inter-half-block HBM round trip and a kernel launch per block)
+        mu2 = jnp.mean(res32, axis=-1, keepdims=True)
+        var2 = jnp.mean(jnp.square(res32 - mu2), axis=-1, keepdims=True)
+        y2 = (res32 - mu2) * jax.lax.rsqrt(var2 + eps)
+        y2 = (y2 * ln2w_ref[:][None, :]
+              + ln2b_ref[:][None, :]).astype(out_ref.dtype)
+        hdn = jax.lax.dot_general(
+            y2, w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b1_ref[:][None, :]
+        hdn = 0.5 * hdn * (1.0 + _erf_approx(hdn * (2.0 ** -0.5)))
+        hdn = hdn.astype(out_ref.dtype)
+        o2 = jax.lax.dot_general(
+            hdn, w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b2_ref[:][None, :]
+        res32 = res32 + o2
+
+    res = res32.astype(out_ref.dtype)
     for wi in range(nwin):
         out_ref[0, 0, :, wi * ws:(wi + 1) * ws, :] = \
             res[wi * n:(wi + 1) * n, :].reshape(ws, ws, c)
@@ -494,6 +520,7 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                       rpb, mask=None, num_heads: int = 6, ws: int = 8,
                       dc: int = 0, mask_bank=None,
                       attn_mode: str = "paired",
+                      mlp=None,
                       interpret: bool = False):
     """Fused Swin attention half-block over (B, H, W, C) directly, with an
     optional folded cyclic roll.
@@ -558,7 +585,18 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         scale = hd ** -0.5
         kernel = functools.partial(
             _strip_kernel_paired, num_heads=num_heads, head_dim=hd,
-            nwin=nwin, ws=ws, dc=dc, chunk=chunk, interpret=interpret)
+            nwin=nwin, ws=ws, dc=dc, chunk=chunk,
+            fuse_mlp=mlp is not None, interpret=interpret)
+        mlp_specs, mlp_args = [], []
+        if mlp is not None:
+            ln2w, ln2b, w1, b1, w2, b2 = mlp
+            hidden = w1.shape[1]
+            mlp_specs = [repp((c,)), repp((c,)),
+                         repp((c, hidden)), repp((hidden,)),
+                         repp((hidden, c)), repp((c,))]
+            mlp_args = [ln2w.astype(jnp.float32), ln2b.astype(jnp.float32),
+                        w1.astype(x.dtype), b1.astype(jnp.float32),
+                        w2.astype(x.dtype), b2.astype(jnp.float32)]
         out = pl.pallas_call(
             kernel,
             grid=(strips,),
@@ -573,7 +611,7 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                 repp((c, c)), repp((c,)),
                 bias_spec,
                 repp((num_heads, c)),
-            ],
+            ] + mlp_specs,
             out_specs=pl.BlockSpec((1, 1, ws, w, c),
                                    lambda i: (i, 0, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -600,7 +638,7 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
           bqkv[c:2 * c].astype(jnp.float32),
           bqkv[2 * c:].astype(jnp.float32),
           wproj.astype(x.dtype), bproj.astype(jnp.float32),
-          bias, hmask)
+          bias, hmask, *mlp_args)
         return out.reshape(b, h, w, c)
 
     # perhead mode: fold head padding into the weights — reorder qkv output
@@ -722,7 +760,15 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
       bv_a.astype(jnp.float32),
       wp_a.astype(x.dtype), bproj.astype(jnp.float32),
       rpbq, hmask, wmask_arg)
-    return out.reshape(b, h, w, c)
+    res = out.reshape(b, h, w, c)
+    if mlp is not None:
+        # stacked fallback keeps the full-block contract: apply the MLP
+        # half-block as a second kernel
+        ln2w, ln2b, w1, b1, w2, b2 = mlp
+        tok = mlp_block_pallas(res.reshape(-1, c), ln2w, ln2b, w1, b1,
+                               w2, b2, interpret=interpret)
+        res = tok.reshape(b, h, w, c)
+    return res
 
 
 def _mlp_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,

@@ -184,6 +184,58 @@ class TestPairedMode:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+class TestFusedMlp:
+    def _mlp_params(self, rng, hidden=2 * C):
+        return (
+            jnp.asarray(rng.standard_normal(C).astype(np.float32)) * 0.1 + 1,
+            jnp.asarray(rng.standard_normal(C).astype(np.float32)) * 0.1,
+            jnp.asarray(rng.standard_normal((C, hidden)).astype(np.float32)),
+            jnp.asarray(rng.standard_normal(hidden).astype(np.float32)),
+            jnp.asarray(rng.standard_normal((hidden, C)).astype(np.float32)),
+            jnp.asarray(rng.standard_normal(C).astype(np.float32)),
+        )
+
+    def test_paired_fused_mlp_matches_two_kernels(self, rng):
+        """paired kernel with the MLP half-block fused in == attention
+        kernel followed by mlp_block_pallas (even nwin so the paired body
+        actually runs, not the stacked fallback)."""
+        from image_restoration_agent_tpu.ops.pallas_attention import (
+            mlp_block_pallas)
+
+        x, ps = _strip_args(rng, 4 * WS, 4 * WS)
+        mlp = self._mlp_params(rng)
+        for dc, bank in ((0, None), (-S, _bank())):
+            attn_only = swin_strip_pallas(
+                x, *ps, None, num_heads=HEADS, ws=WS, mask_bank=bank,
+                dc=dc, attn_mode="paired", interpret=True)
+            tok = mlp_block_pallas(attn_only.reshape(-1, C), *mlp,
+                                   interpret=True)
+            want = tok.reshape(attn_only.shape)
+            got = swin_strip_pallas(
+                x, *ps, None, num_heads=HEADS, ws=WS, mask_bank=bank,
+                dc=dc, attn_mode="paired", mlp=mlp, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=3e-5)
+
+    def test_stacked_fallback_applies_mlp(self, rng):
+        """Odd nwin routes paired -> stacked; the mlp contract must hold
+        there too (applied as a second kernel)."""
+        from image_restoration_agent_tpu.ops.pallas_attention import (
+            mlp_block_pallas)
+
+        x, ps = _strip_args(rng, 2 * WS, 3 * WS)
+        mlp = self._mlp_params(rng)
+        attn_only = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                      attn_mode="paired", interpret=True)
+        tok = mlp_block_pallas(attn_only.reshape(-1, C), *mlp,
+                               interpret=True)
+        want = tok.reshape(attn_only.shape)
+        got = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                attn_mode="paired", mlp=mlp, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5)
+
+
 class TestPerHeadMode:
     def test_perhead_matches_stacked(self, rng):
         """attn_mode='perhead' (32-padded per-head dots via reordered
