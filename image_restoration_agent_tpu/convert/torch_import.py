@@ -934,3 +934,89 @@ def ridcp_rules(max_depth: int = 2, swin_blocks: int = 4) -> list[Rule]:
             rf"multiscale_encoder\.blocks\.{max_depth}\.swin_blks\.{i}",
             rf"enc_swin{i}")
     return rules
+
+
+def ifan_rules(res_num: int = 2) -> list[Rule]:
+    """Reference IFAN names (models/archs/IFAN.py + nn_common.py) ->
+    models/ifan.py.
+
+    Encoder convs are Sequential(conv, lrelu) (`.0.weight`); ResnetBlocks
+    expose `stem.{i}.{0,2}` per inner iteration; the Sequential heads DME /
+    conv4_4 / F / conv_res index their members, with act=None tails as bare
+    convs (`DME.3.weight`, `F.3.weight`); `upconv{l}_u.0` is a
+    ConvTranspose2d; `out_res.0` is conv+lrelu.
+    """
+    rules: list[Rule] = [
+        # encoder stages conv1_1..conv4_3 and kconv1_1..kconv4_3
+        (r"(k?conv[1-4])_([123])\.0\.weight", r"\1_\2/Conv_0/kernel",
+         t_conv),
+        (r"(k?conv[1-4])_([123])\.0\.bias", r"\1_\2/Conv_0/bias", t_id),
+    ]
+
+    def res_block(src: str, dst: str, n: int) -> list[Rule]:
+        out: list[Rule] = []
+        for i in range(n):
+            out += [
+                (rf"{src}\.stem\.{i}\.0\.weight",
+                 rf"{dst}/stem{i}_a/Conv_0/kernel", t_conv),
+                (rf"{src}\.stem\.{i}\.0\.bias",
+                 rf"{dst}/stem{i}_a/Conv_0/bias", t_id),
+                (rf"{src}\.stem\.{i}\.2\.weight",
+                 rf"{dst}/stem{i}_b/Conv_0/kernel", t_conv),
+                (rf"{src}\.stem\.{i}\.2\.bias",
+                 rf"{dst}/stem{i}_b/Conv_0/bias", t_id),
+            ]
+        return out
+
+    # DME: Sequential(conv+act, res, res, conv-no-act)  (IFAN.py:101-105)
+    rules += [
+        (r"DME\.0\.0\.weight", r"dme_in/Conv_0/kernel", t_conv),
+        (r"DME\.0\.0\.bias", r"dme_in/Conv_0/bias", t_id),
+        (r"DME\.3\.weight", r"dme_out/Conv_0/kernel", t_conv),
+        (r"DME\.3\.bias", r"dme_out/Conv_0/bias", t_id),
+    ]
+    rules += res_block(r"DME\.1", "dme_res1", res_num)
+    rules += res_block(r"DME\.2", "dme_res2", res_num)
+    rules += [
+        (r"conv_DME\.0\.weight", r"conv_dme/Conv_0/kernel", t_conv),
+        (r"conv_DME\.0\.bias", r"conv_dme/Conv_0/bias", t_id),
+    ]
+    # conv4_4: Sequential(conv+act, res, res, conv+act)  (IFAN.py:52-56)
+    rules += [
+        (r"conv4_4\.0\.0\.weight", r"conv4_4_in/Conv_0/kernel", t_conv),
+        (r"conv4_4\.0\.0\.bias", r"conv4_4_in/Conv_0/bias", t_id),
+        (r"conv4_4\.3\.0\.weight", r"conv4_4_out/Conv_0/kernel", t_conv),
+        (r"conv4_4\.3\.0\.bias", r"conv4_4_out/Conv_0/bias", t_id),
+    ]
+    rules += res_block(r"conv4_4\.1", "conv4_4_res1", res_num)
+    rules += res_block(r"conv4_4\.2", "conv4_4_res2", res_num)
+    # F: Sequential(conv+act, res, res, conv1x1-no-act)  (IFAN.py:111-115)
+    rules += [
+        (r"F\.0\.0\.weight", r"F_in/Conv_0/kernel", t_conv),
+        (r"F\.0\.0\.bias", r"F_in/Conv_0/bias", t_id),
+        (r"F\.3\.weight", r"F_out/Conv_0/kernel", t_conv),
+        (r"F\.3\.bias", r"F_out/Conv_0/bias", t_id),
+    ]
+    rules += res_block(r"F\.1", "F_res1", res_num)
+    rules += res_block(r"F\.2", "F_res2", res_num)
+    # conv_res: Sequential(conv+act, res(3), conv+act)  (IFAN.py:59-62)
+    rules += [
+        (r"conv_res\.0\.0\.weight", r"conv_res_in/Conv_0/kernel", t_conv),
+        (r"conv_res\.0\.0\.bias", r"conv_res_in/Conv_0/bias", t_id),
+        (r"conv_res\.2\.0\.weight", r"conv_res_out/Conv_0/kernel", t_conv),
+        (r"conv_res\.2\.0\.bias", r"conv_res_out/Conv_0/bias", t_id),
+    ]
+    rules += res_block(r"conv_res\.1", "conv_res_mid", 3)
+    for lvl in (1, 2, 3):
+        rules += [
+            (rf"upconv{lvl}_u\.0\.weight", rf"upconv{lvl}_u/t/kernel",
+             t_convT),
+            (rf"upconv{lvl}_u\.0\.bias", rf"upconv{lvl}_u/t/bias", t_id),
+        ]
+        rules += res_block(rf"upconv{lvl}_1", f"upconv{lvl}_1", 1)
+        rules += res_block(rf"upconv{lvl}_2", f"upconv{lvl}_2", 1)
+    rules += [
+        (r"out_res\.0\.weight", r"out_res/Conv_0/kernel", t_conv),
+        (r"out_res\.0\.bias", r"out_res/Conv_0/bias", t_id),
+    ]
+    return rules

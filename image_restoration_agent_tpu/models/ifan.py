@@ -1,4 +1,4 @@
-"""IFAN in Flax/NHWC (rebuild of IFAN/models/archs/IFAN.py + IAC.py).
+"""IFAN in Flax/NHWC (rebuild of IFAN/models/archs/IFAN.py + models/IAC.py).
 
 Iterative Filter Adaptive Network for defocus deblurring: a feature
 extractor and a filter encoder run in parallel; a disparity-map estimator
@@ -8,19 +8,25 @@ pairs + biases; IAC applies them iteratively to the 1/8-res features
 LeakyReLU(0.1) between iterations); a conv reconstructor decodes back to
 full resolution with skip connections and a global residual.
 
-Faithfulness note: the reference SAC applies ``kernel1`` in BOTH passes
-(IAC.py:36-37 — an acknowledged upstream bug the released checkpoints were
-trained with). Reproduced here so converted weights behave identically.
+Faithfulness notes vs the reference:
+- SAC applies ``kernel1`` in BOTH passes (IAC.py:36-37 — an acknowledged
+  upstream bug the released checkpoints were trained with). Reproduced so
+  converted weights behave identically.
+- IFAN's ResnetBlock (nn_common.py:29-54) applies LeakyReLU(0.1) AFTER
+  each inner residual add and wraps an outer skip when ``res_num > 1`` —
+  unlike DRBNet's block (no post-add activation), so it gets its own
+  module here.
+- ``out_res`` is conv+LeakyReLU (nn_common.py:4 default act) before the
+  global residual add and clip (IFAN.py:162).
 """
 
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from .common import Conv
-from .drbnet import ResBlockDRB, UpConv, _lrelu
+from .drbnet import UpConv, _lrelu
 from .registry import ModelSpec, register_model
 
 
@@ -48,7 +54,8 @@ def sac(feat: jnp.ndarray, kernel1: jnp.ndarray, kernel2: jnp.ndarray,
 
 def iac(feat: jnp.ndarray, filters: jnp.ndarray, n: int, c: int, k: int
         ) -> jnp.ndarray:
-    """N iterations of SAC + bias + LeakyReLU (IAC.py:4-17)."""
+    """N iterations of SAC + bias + LeakyReLU (IAC.py:4-17,
+    is_act_last=True)."""
     pair = c * k * 2
     fs = filters[..., : n * pair]
     biases = filters[..., n * pair:]
@@ -60,6 +67,25 @@ def iac(feat: jnp.ndarray, filters: jnp.ndarray, n: int, c: int, k: int
         out = out + biases[..., i * c:(i + 1) * c]
         out = _lrelu(out)
     return out
+
+
+class ResnetBlockIFAN(nn.Module):
+    """IFAN's ResnetBlock (nn_common.py:29-54): per iteration
+    ``x = lrelu(x + conv(lrelu(conv(x))))``; outer skip when res_num>1."""
+    res_num: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        temp = x
+        for i in range(self.res_num):
+            y = Conv(c, kernel=3, name=f"stem{i}_a")(x)
+            y = _lrelu(y)
+            y = Conv(c, kernel=3, name=f"stem{i}_b")(y)
+            x = _lrelu(x + y)
+        if self.res_num > 1:
+            x = x + temp
+        return x
 
 
 class IFAN(nn.Module):
@@ -83,65 +109,57 @@ class IFAN(nn.Module):
             x = Conv(f, kernel=3, name=f"{name}_3")(x)
             return _lrelu(x)
 
-        def res_stack(y, count, name):
-            for i in range(count):
-                y = ResBlockDRB(name=f"{name}_{i}")(y)
-            return y
-
-        # feature extractor
+        # feature extractor (IFAN.py:128-131)
         f1 = enc(x, ch1, "conv1", False)
         f2 = enc(f1, ch2, "conv2", True)
         f3 = enc(f2, ch3, "conv3", True)
         f_c = enc(f3, ch4, "conv4", True)
 
-        # filter encoder
+        # filter encoder (IFAN.py:134-137)
         g = enc(x, ch1, "kconv1", False)
         g = enc(g, ch2, "kconv2", True)
         g = enc(g, ch3, "kconv3", True)
         g = enc(g, ch4, "kconv4", True)
 
-        # disparity map estimator
-        d = Conv(ch4, kernel=3, name="dme_in")(g)
-        d = _lrelu(d)
-        d = res_stack(d, self.res_num, "dme_res")
+        # disparity map estimator: conv -> 2x ResnetBlock(res_num) ->
+        # conv(1, no act)  (IFAN.py:101-105)
+        d = _lrelu(Conv(ch4, kernel=3, name="dme_in")(g))
+        d = ResnetBlockIFAN(self.res_num, name="dme_res1")(d)
+        d = ResnetBlockIFAN(self.res_num, name="dme_res2")(d)
         dm = Conv(1, kernel=3, name="dme_out")(d)
 
-        # filter predictor
-        f_dm = Conv(ch4, kernel=3, name="conv_dme")(dm)
-        f_dm = _lrelu(f_dm)
-        g = Conv(ch4, kernel=3, name="conv4_4_in")(
-            jnp.concatenate([g, f_dm], axis=-1))
-        g = _lrelu(g)
-        g = res_stack(g, 2, "conv4_4_res")
-        g = Conv(ch4, kernel=3, name="conv4_4_out")(g)
-        g = _lrelu(g)
+        # filter predictor (IFAN.py:108-115)
+        f_dm = _lrelu(Conv(ch4, kernel=3, name="conv_dme")(dm))
+        g = _lrelu(Conv(ch4, kernel=3, name="conv4_4_in")(
+            jnp.concatenate([g, f_dm], axis=-1)))
+        g = ResnetBlockIFAN(self.res_num, name="conv4_4_res1")(g)
+        g = ResnetBlockIFAN(self.res_num, name="conv4_4_res2")(g)
+        g = _lrelu(Conv(ch4, kernel=3, name="conv4_4_out")(g))
         kernel_dim = self.n_iters * (ch4 * k * 2) + self.n_iters * ch4
-        p = Conv(ch4, kernel=3, name="F_in")(g)
-        p = _lrelu(p)
-        p = res_stack(p, self.res_num, "F_res")
+        p = _lrelu(Conv(ch4, kernel=3, name="F_in")(g))
+        p = ResnetBlockIFAN(self.res_num, name="F_res1")(p)
+        p = ResnetBlockIFAN(self.res_num, name="F_res2")(p)
         filters = Conv(kernel_dim, kernel=1, name="F_out")(p)
 
-        # IAC on the deepest features
+        # IAC on the deepest features (IFAN.py:148)
         y = iac(f_c, filters, self.n_iters, ch4, k)
 
-        # reconstructor
-        y0 = Conv(ch4, kernel=3, name="conv_res_in")(y)
-        y0 = _lrelu(y0)
-        y0 = res_stack(y0, 3, "conv_res")
-        y = Conv(ch4, kernel=3, name="conv_res_out")(y0)
-        y = _lrelu(y)
+        # reconstructor: conv -> ResnetBlock(3) -> conv (IFAN.py:59-62)
+        y = _lrelu(Conv(ch4, kernel=3, name="conv_res_in")(y))
+        y = ResnetBlockIFAN(3, name="conv_res_mid")(y)
+        y = _lrelu(Conv(ch4, kernel=3, name="conv_res_out")(y))
 
         y = UpConv(ch3, name="upconv3_u")(y) + f3
-        y = ResBlockDRB(name="upconv3_1")(y)
-        y = ResBlockDRB(name="upconv3_2")(y)
+        y = ResnetBlockIFAN(1, name="upconv3_1")(y)
+        y = ResnetBlockIFAN(1, name="upconv3_2")(y)
         y = UpConv(ch2, name="upconv2_u")(y) + f2
-        y = ResBlockDRB(name="upconv2_1")(y)
-        y = ResBlockDRB(name="upconv2_2")(y)
+        y = ResnetBlockIFAN(1, name="upconv2_1")(y)
+        y = ResnetBlockIFAN(1, name="upconv2_2")(y)
         y = UpConv(ch1, name="upconv1_u")(y) + f1
-        y = ResBlockDRB(name="upconv1_1")(y)
-        y = ResBlockDRB(name="upconv1_2")(y)
+        y = ResnetBlockIFAN(1, name="upconv1_1")(y)
+        y = ResnetBlockIFAN(1, name="upconv1_2")(y)
 
-        out = Conv(3, kernel=3, name="out_res")(y) + x
+        out = _lrelu(Conv(3, kernel=3, name="out_res")(y)) + x
         return jnp.clip(out, 0.0, 1.0)
 
 
