@@ -1020,3 +1020,29 @@ def ifan_rules(res_num: int = 2) -> list[Rule]:
         (r"out_res\.0\.bias", r"out_res/Conv_0/bias", t_id),
     ]
     return rules
+
+
+def lpips_rules() -> list[Rule]:
+    """LPIPS v0.1 'alex' checkpoint -> iqa/lpips.py.
+
+    Accepts both naming schemes in the wild: the full-model layout
+    (``net.slice{1-5}.{idx}.weight`` — the lpips repo wraps torchvision
+    AlexNet keeping the original feature indices) and a bare torchvision
+    trunk (``features.{idx}.weight``) merged with the package's
+    ``lin{N}.model.1.weight`` heads. ScalingLayer buffers are constants in
+    the Flax module and dropped here.
+    """
+    idx_map = {0: 0, 3: 1, 6: 2, 8: 3, 10: 4}
+    rules: list[Rule] = []
+    for src, dst in idx_map.items():
+        for prefix in (rf"features\.{src}", rf"net\.slice[1-5]\.{src}"):
+            rules += [
+                (prefix + r"\.weight", rf"net/conv{dst}/kernel", t_conv),
+                (prefix + r"\.bias", rf"net/conv{dst}/bias", t_id),
+            ]
+    rules += [
+        (r"lin([0-4])\.model\.1\.weight", r"lin\1", t_squeeze),
+        (r"lins\.([0-4])\.model\.1\.weight", r"lin\1", t_squeeze),
+        (r"scaling_layer\..*", "", t_id),
+    ]
+    return rules

@@ -2,14 +2,17 @@
 
 Reference behavior: FR metrics PSNR/SSIM/LPIPS against an HQ image, with x4
 MATLAB-bicubic upsampling of whichever side is smaller so SR outputs align
-(scorer.py:56-62). NR metrics (MANIQA/CLIP-IQA/MUSIQ) are pyiqa networks; the
-interface reserves their names and reports None until their Flax ports land.
+(scorer.py:56-62). LPIPS runs the Flax port in iqa/lpips.py when a converted
+checkpoint is available (weights/lpips_alex); NR metrics (MANIQA/CLIP-IQA/
+MUSIQ) report None until their network weights are converted.
 """
 
 from __future__ import annotations
 
 from pathlib import Path
+from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -20,10 +23,33 @@ from .metrics import psnr, ssim
 FR_METRICS = ("psnr", "ssim")
 NR_METRICS = ("maniqa", "clipiqa", "musiq")  # reserved, not yet ported
 
+_DEFAULT_LPIPS_DIR = Path(__file__).resolve().parents[1] / "weights" / \
+    "lpips_alex"
+
 
 class Scorer:
-    def __init__(self, metrics: tuple[str, ...] = FR_METRICS):
+    def __init__(self, metrics: tuple[str, ...] = FR_METRICS,
+                 lpips_params=None, lpips_dir: Optional[Path] = None):
         self.metrics = metrics
+        self._lpips_params = lpips_params
+        self._lpips_dir = Path(lpips_dir) if lpips_dir else _DEFAULT_LPIPS_DIR
+        self._lpips_fn = None
+
+    def _lpips(self, img: np.ndarray, ref: np.ndarray) -> Optional[float]:
+        if self._lpips_params is None:
+            if not self._lpips_dir.exists():
+                return None
+            import orbax.checkpoint as ocp
+            with ocp.StandardCheckpointer() as ckptr:
+                self._lpips_params = ckptr.restore(self._lpips_dir.resolve())
+        if self._lpips_fn is None:
+            from .lpips import LPIPS
+            model = LPIPS()
+            self._lpips_fn = jax.jit(
+                lambda p, a, b: model.apply(p, a, b))
+        val = self._lpips_fn(self._lpips_params,
+                             jnp.asarray(img)[None], jnp.asarray(ref)[None])
+        return float(val[0])
 
     @staticmethod
     def _align(img: np.ndarray, ref: np.ndarray):
@@ -52,6 +78,8 @@ class Scorer:
                 out[m] = float(psnr(jnp.asarray(img), jnp.asarray(ref)))
             elif m == "ssim":
                 out[m] = float(ssim(jnp.asarray(img), jnp.asarray(ref)))
+            elif m == "lpips":
+                out[m] = self._lpips(img, ref)
             else:
                 out[m] = None
         return out
