@@ -1046,3 +1046,98 @@ def lpips_rules() -> list[Rule]:
         (r"scaling_layer\..*", "", t_id),
     ]
     return rules
+
+
+def clip_rules() -> list[Rule]:
+    """OpenAI CLIP ResNet checkpoint (RN50x4 layout) -> retrieval/clip.py.
+
+    Keys per the published model.py: ``visual.*`` ModifiedResNet (stem
+    conv1-3/bn1-3, layer{1-4}.{i} bottlenecks with ``downsample.{0,1}``
+    = conv+bn after the anti-alias avgpool, attnpool q/k/v/c_proj),
+    ``transformer.resblocks.{i}`` text blocks (fused ``in_proj_weight``),
+    ``token_embedding`` / ``positional_embedding`` / ``ln_final`` /
+    ``text_projection``. BatchNorm running stats convert into FrozenBN
+    mean/var params; ``logit_scale`` and step counters drop.
+    """
+    def bn(src: str, dst: str) -> list[Rule]:
+        return [
+            (rf"{src}\.weight", rf"{dst}/scale", t_id),
+            (rf"{src}\.bias", rf"{dst}/bias", t_id),
+            (rf"{src}\.running_mean", rf"{dst}/mean", t_id),
+            (rf"{src}\.running_var", rf"{dst}/var", t_id),
+            (rf"{src}\.num_batches_tracked", "", t_id),
+        ]
+
+    rules: list[Rule] = []
+    for i in (1, 2, 3):
+        rules += [(rf"visual\.conv{i}\.weight", rf"visual/conv{i}/kernel",
+                   t_conv)]
+        rules += bn(rf"visual\.bn{i}", rf"visual/bn{i}")
+    rules += [
+        (r"visual\.layer(\d)\.(\d+)\.conv([123])\.weight",
+         r"visual/layer\1_\2/conv\3/kernel", t_conv),
+        (r"visual\.layer(\d)\.(\d+)\.downsample\.0\.weight",
+         r"visual/layer\1_\2/down_conv/kernel", t_conv),
+    ]
+    rules += bn(r"visual\.layer(\d)\.(\d+)\.bn([123])",
+                r"visual/layer\1_\2/bn\3")
+    rules += bn(r"visual\.layer(\d)\.(\d+)\.downsample\.1",
+                r"visual/layer\1_\2/down_bn")
+    rules += [(r"visual\.attnpool\.positional_embedding",
+               r"visual/attnpool/positional_embedding", t_id)]
+    for p in ("q", "k", "v", "c"):
+        rules += [
+            (rf"visual\.attnpool\.{p}_proj\.weight",
+             rf"visual/attnpool/{p}_proj/kernel", t_linear),
+            (rf"visual\.attnpool\.{p}_proj\.bias",
+             rf"visual/attnpool/{p}_proj/bias", t_id),
+        ]
+    rules += [
+        (r"token_embedding\.weight", r"text/token_embedding", t_id),
+        (r"positional_embedding", r"text/positional_embedding", t_id),
+        (r"text_projection", r"text/text_projection", t_id),
+        (r"ln_final\.weight", r"text/ln_final/scale", t_id),
+        (r"ln_final\.bias", r"text/ln_final/bias", t_id),
+        (r"logit_scale", "", t_id),
+        (r"input_resolution|context_length|vocab_size", "", t_id),
+        (r"transformer\.resblocks\.(\d+)\.attn\.in_proj_weight",
+         r"text/block\1/in_proj/kernel", t_linear),
+        (r"transformer\.resblocks\.(\d+)\.attn\.in_proj_bias",
+         r"text/block\1/in_proj/bias", t_id),
+        (r"transformer\.resblocks\.(\d+)\.attn\.out_proj\.weight",
+         r"text/block\1/out_proj/kernel", t_linear),
+        (r"transformer\.resblocks\.(\d+)\.attn\.out_proj\.bias",
+         r"text/block\1/out_proj/bias", t_id),
+        (r"transformer\.resblocks\.(\d+)\.ln_([12])\.weight",
+         r"text/block\1/ln_\2/scale", t_id),
+        (r"transformer\.resblocks\.(\d+)\.ln_([12])\.bias",
+         r"text/block\1/ln_\2/bias", t_id),
+        (r"transformer\.resblocks\.(\d+)\.mlp\.c_(fc|proj)\.weight",
+         r"text/block\1/c_\2/kernel", t_linear),
+        (r"transformer\.resblocks\.(\d+)\.mlp\.c_(fc|proj)\.bias",
+         r"text/block\1/c_\2/bias", t_id),
+    ]
+    return rules
+
+
+def combiner_rules() -> list[Rule]:
+    """CLIP4CIR trained Combiner (src/combiner.py) -> retrieval/combiner.py.
+    The torch ``dynamic_scalar`` Sequential exposes its linears at indices
+    0 and 3 (relu/dropout/sigmoid carry no params)."""
+    return [
+        (r"text_projection_layer\.weight", r"text_projection/kernel",
+         t_linear),
+        (r"text_projection_layer\.bias", r"text_projection/bias", t_id),
+        (r"image_projection_layer\.weight", r"image_projection/kernel",
+         t_linear),
+        (r"image_projection_layer\.bias", r"image_projection/bias", t_id),
+        (r"combiner_layer\.weight", r"combiner_layer/kernel", t_linear),
+        (r"combiner_layer\.bias", r"combiner_layer/bias", t_id),
+        (r"output_layer\.weight", r"output_layer/kernel", t_linear),
+        (r"output_layer\.bias", r"output_layer/bias", t_id),
+        (r"dynamic_scalar\.0\.weight", r"ds_hidden/kernel", t_linear),
+        (r"dynamic_scalar\.0\.bias", r"ds_hidden/bias", t_id),
+        (r"dynamic_scalar\.3\.weight", r"ds_out/kernel", t_linear),
+        (r"dynamic_scalar\.3\.bias", r"ds_out/bias", t_id),
+        (r"logit_scale", "", t_id),
+    ]

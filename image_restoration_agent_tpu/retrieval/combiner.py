@@ -23,15 +23,18 @@ class Combiner(nn.Module):
     @nn.compact
     def __call__(self, image_features: jnp.ndarray,
                  text_features: jnp.ndarray, deterministic: bool = True):
-        img_p = nn.relu(nn.Dense(self.projection_dim,
-                                 name="image_projection")(image_features))
+        # concat order is (text, image) — combiner.py:60
         txt_p = nn.relu(nn.Dense(self.projection_dim,
                                  name="text_projection")(text_features))
-        both = jnp.concatenate([img_p, txt_p], axis=-1)
+        img_p = nn.relu(nn.Dense(self.projection_dim,
+                                 name="image_projection")(image_features))
+        both = jnp.concatenate([txt_p, img_p], axis=-1)
         h = nn.relu(nn.Dense(self.hidden_dim, name="combiner_layer")(both))
         combined = nn.Dense(self.feature_dim, name="output_layer")(h)
 
-        scalar = nn.sigmoid(nn.Dense(1, name="dynamic_scalar")(both))
+        # dynamic scalar is a hidden-layer MLP (combiner.py:28-29)
+        ds = nn.relu(nn.Dense(self.hidden_dim, name="ds_hidden")(both))
+        scalar = nn.sigmoid(nn.Dense(1, name="ds_out")(ds))
         out = (combined + scalar * text_features
                + (1 - scalar) * image_features)
         norm = jnp.linalg.norm(out, axis=-1, keepdims=True)

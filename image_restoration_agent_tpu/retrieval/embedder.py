@@ -73,3 +73,67 @@ class RetrievalEmbedder:
 
     def embed_path(self, img_path: str | Path) -> np.ndarray:
         return self.embed_array(to_float(load_image(img_path)))
+
+
+class CLIPRetrievalEmbedder:
+    """Reference-exact retrieval embedding: CLIP RN50x4 image feature +
+    text feature of the fixed caption, fused by the trained Combiner and
+    L2-normalized (AgentApp/utils/util.py:119-180).
+
+    Requires converted checkpoints (clip_rules / combiner_rules) and the
+    CLIP BPE merges file; ``from_dirs`` loads orbax directories.
+    """
+
+    CAPTION = "similar degradation"
+
+    def __init__(self, clip_params, combiner_params, tokenizer,
+                 caption: Optional[str] = None, n_px: int = 288,
+                 target_ratio: Optional[float] = 1.25,
+                 feature_dim: int = 640, clip_model=None,
+                 combiner_model=None):
+        from .clip import CLIPModel, preprocess
+
+        self.clip = clip_model or CLIPModel(embed_dim=feature_dim)
+        self.combiner = combiner_model or Combiner(feature_dim)
+        self.clip_params = clip_params
+        self.combiner_params = combiner_params
+        self.n_px = n_px
+        self.target_ratio = target_ratio
+        self._preprocess = preprocess
+
+        ids = tokenizer.tokenize(caption or self.CAPTION,
+                                 context_length=self.clip.context_length)
+        self._text_feat = self.clip.apply(
+            clip_params, jnp.asarray(ids), method=CLIPModel.encode_text)
+
+        def fused(p_clip, p_comb, img, txt):
+            img_feat = self.clip.apply(p_clip, img,
+                                       method=CLIPModel.encode_image)
+            out = self.combiner.apply(p_comb, img_feat, txt)
+            norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
+            return out / jnp.maximum(norm, 1e-12)
+
+        self._fused = jax.jit(fused)
+
+    @classmethod
+    def from_dirs(cls, clip_dir: str | Path, combiner_dir: str | Path,
+                  bpe_path: str | Path, **kw) -> "CLIPRetrievalEmbedder":
+        import orbax.checkpoint as ocp
+
+        from .tokenizer import SimpleTokenizer
+
+        with ocp.StandardCheckpointer() as ckptr:
+            clip_params = ckptr.restore(Path(clip_dir).resolve())
+            combiner_params = ckptr.restore(Path(combiner_dir).resolve())
+        return cls(clip_params, combiner_params,
+                   SimpleTokenizer(bpe_path), **kw)
+
+    def embed_array(self, img: np.ndarray) -> np.ndarray:
+        x = self._preprocess(img, n_px=self.n_px,
+                             target_ratio=self.target_ratio)
+        out = self._fused(self.clip_params, self.combiner_params,
+                          jnp.asarray(x)[None], self._text_feat)
+        return np.asarray(out)[0]
+
+    def embed_path(self, img_path: str | Path) -> np.ndarray:
+        return self.embed_array(to_float(load_image(img_path)))

@@ -80,12 +80,23 @@ def main():
         print(f"{name}: {tt*1e3:.3f} ms/iter")
         return tt
 
+    w1 = jax.random.normal(key, (c, 2 * c), dt) * 0.02
+    b1 = jnp.zeros((2 * c,), jnp.float32)
+    w2 = jax.random.normal(key, (2 * c, c), dt) * 0.02
+    b2 = jnp.zeros((c,), jnp.float32)
+    mlp_params = (lnw, lnb, w1, b1, w2, b2)
+
     t_attn = {}
-    for mode in ("stacked", "perhead"):
+    for mode in ("stacked", "perhead", "paired"):
         f = loop(lambda xx, m=mode: swin_strip_pallas(
             xx, lnw, lnb, wqkv, bqkv, wproj, bproj, rpb,
             num_heads=heads, ws=ws, attn_mode=m))
         t_attn[mode] = report(f"attn strip [{mode}]", f, x)
+
+    f = loop(lambda xx: swin_strip_pallas(
+        xx, lnw, lnb, wqkv, bqkv, wproj, bproj, rpb,
+        num_heads=heads, ws=ws, attn_mode="paired", mlp=mlp_params))
+    t_fused = report("full block [paired+mlp fused]", f, x)
 
     bank = jnp.asarray(shift_attention_mask(2 * ws, 2 * ws, ws, ws // 2)
                        .reshape(2, 2, n, n))
@@ -94,10 +105,11 @@ def main():
         num_heads=heads, ws=ws, dc=-4, mask_bank=bank))
     t_shift = report("attn strip [stacked+shift]", f, x)
 
-    w1 = jax.random.normal(key, (c, 2 * c), dt) * 0.02
-    b1 = jnp.zeros((2 * c,), jnp.float32)
-    w2 = jax.random.normal(key, (2 * c, c), dt) * 0.02
-    b2 = jnp.zeros((c,), jnp.float32)
+    f = loop(lambda xx: swin_strip_pallas(
+        xx, lnw, lnb, wqkv, bqkv, wproj, bproj, rpb,
+        num_heads=heads, ws=ws, dc=-4, mask_bank=bank,
+        attn_mode="paired", mlp=mlp_params))
+    t_fused_shift = report("full block [paired+mlp fused, shift]", f, x)
     x2d = x.reshape(-1, c)
     f = loop(lambda xx: mlp_block_pallas(xx, lnw, lnb, w1, b1, w2, b2))
     t_mlp = report("mlp half-block", f, x2d)
@@ -126,11 +138,10 @@ def main():
     t_model = timeit(fm, xin) - t_over
     print(f"full model fwd (b={b}, {t}x{t}): {t_model*1e3:.2f} ms")
 
-    est = (18 * t_attn["stacked"] + 18 * t_shift + 36 * t_mlp + 7 * t_conv
-           + 6 * t_roll)
-    print(f"sum-of-parts: attn18={18*t_attn['stacked']*1e3:.1f} "
-          f"shift18={18*t_shift*1e3:.1f} mlp36={36*t_mlp*1e3:.1f} "
-          f"conv7={7*t_conv*1e3:.1f} roll6={6*t_roll*1e3:.1f} "
+    est = (18 * t_fused + 18 * t_fused_shift + 7 * t_conv)
+    print(f"sum-of-parts (fused blocks): plain18={18*t_fused*1e3:.1f} "
+          f"shift18={18*t_fused_shift*1e3:.1f} "
+          f"conv7={7*t_conv*1e3:.1f} "
           f"=> est {est*1e3:.1f} ms vs model {t_model*1e3:.1f} ms")
     mp = b * t * t / 1e6
     print(f"model-only throughput: {mp/t_model:.3f} MP/s")
