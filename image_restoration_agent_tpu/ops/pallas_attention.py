@@ -358,7 +358,8 @@ def _strip_kernel_paired(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref,
                          wv_ref, bq_ref, bk_ref, bv_ref, wproj_ref,
                          bproj_ref, bias_ref, hmask_ref, *rest,
                          num_heads, head_dim, nwin, ws, dc, chunk,
-                         fuse_mlp=False, interpret=False, eps=1e-5):
+                         g2=False, fuse_mlp=False, interpret=False,
+                         eps=1e-5):
     """Paired-window strip kernel: 2 windows per MXU dot group.
 
     Measured ~1.4x faster than the per-window 'stacked' design on v5e: the
@@ -369,6 +370,14 @@ def _strip_kernel_paired(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref,
     blocks. The attention scale is folded into wq at trace time; rpb and
     shift masks are fused into one per-pair bias constant
     (bias_ref[0, is_last_pair], row-edge variant selected by index map).
+
+    ``g2`` (paired2 mode): heads processed in groups of TWO via
+    block-diagonal (2m, 2*hp) key/value stacks — contraction width drops
+    from C (every head's logit paying the full 180-wide masked contraction,
+    a ~6x FLOP amplification) to 2*hp=64, cutting attention-core FLOPs
+    ~2.8x while keeping (m, 2m, 64) MXU-friendly dot shapes. Requires the
+    q/k/v weights pre-reordered head-major and zero-padded to hp=32 per
+    head (and wproj row-reordered to match) at trace time.
     """
     if fuse_mlp:
         (ln2w_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -382,6 +391,8 @@ def _strip_kernel_paired(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref,
     m = 2 * n
     w = a_ref.shape[3]
     npair = nwin // 2
+    hp = q_ref.shape[1] // num_heads  # padded head width (g2: 32)
+    ngr = num_heads // 2
 
     rows = jnp.concatenate([a_ref[0, 0], b_ref[0, 0]], axis=0)
     if dc < 0:
@@ -407,51 +418,103 @@ def _strip_kernel_paired(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref,
             preferred_element_type=jnp.float32)
             + b_ref2[:][None, :]).astype(dst.dtype)
 
-    if not interpret:
+    if not g2 and not interpret:
         kmv = km_ref.reshape(chunk, num_heads, m, c)
         vmv = vm_ref.reshape(chunk, num_heads, m, c)
     for p0 in range(0, npair, chunk):
         cp_n = min(chunk, npair - p0)
-        if interpret:
-            # interpret mode cannot discharge writes through reshaped refs;
-            # identical contents via per-(pair, head) 2D slices
+        if g2:
+            # block-diagonal 2-head stacks: rows [0:m) hold head 2g in
+            # lanes [0:hp), rows [m:2m) hold head 2g+1 in lanes [hp:2hp);
+            # the off-blocks are zeroed so a 2hp-wide contraction yields
+            # exact per-head logits
+            zblk = jnp.zeros((m, hp), km_ref.dtype)
             for pi in range(cp_n):
                 kp = k_ref[(p0 + pi) * m:(p0 + pi + 1) * m, :]
                 vp = v_ref[(p0 + pi) * m:(p0 + pi + 1) * m, :]
-                for h in range(num_heads):
-                    hm = hmask_ref[h][None, :]
-                    r0 = (pi * num_heads + h) * m
-                    km_ref[r0:r0 + m, :] = kp * hm
-                    vm_ref[r0:r0 + m, :] = vp * hm
+                for gr in range(ngr):
+                    base = (pi * ngr + gr) * 2 * m
+                    h0, h1 = 2 * gr, 2 * gr + 1
+                    km_ref[base:base + m, :hp] = kp[:, h0 * hp:(h0 + 1) * hp]
+                    km_ref[base:base + m, hp:] = zblk
+                    km_ref[base + m:base + 2 * m, :hp] = zblk
+                    km_ref[base + m:base + 2 * m, hp:] = \
+                        kp[:, h1 * hp:(h1 + 1) * hp]
+                    vm_ref[base:base + m, :hp] = vp[:, h0 * hp:(h0 + 1) * hp]
+                    vm_ref[base:base + m, hp:] = zblk
+                    vm_ref[base + m:base + 2 * m, :hp] = zblk
+                    vm_ref[base + m:base + 2 * m, hp:] = \
+                        vp[:, h1 * hp:(h1 + 1) * hp]
+            for pi in range(cp_n):
+                g = p0 + pi
+                sel = 1 if g == npair - 1 else 0
+                for gr in range(ngr):
+                    q2 = q_ref[g * m:(g + 1) * m,
+                               2 * gr * hp:(2 * gr + 2) * hp]
+                    base = (pi * ngr + gr) * 2 * m
+                    km2 = km_ref[base:base + 2 * m, :]
+                    lg_ref[pi * m:(pi + 1) * m,
+                           2 * gr * m:(2 * gr + 2) * m] = \
+                        jax.lax.dot_general(
+                            q2, km2, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) \
+                        + bias_ref[0, sel, :, 2 * gr * m:(2 * gr + 2) * m]
         else:
-            k_all = k_ref[p0 * m:(p0 + cp_n) * m, :].reshape(cp_n, m, c)
-            v_all = v_ref[p0 * m:(p0 + cp_n) * m, :].reshape(cp_n, m, c)
-            for h in range(num_heads):
-                hm = hmask_ref[h][None, None, :]
-                kmv[:cp_n, h] = k_all * hm
-                vmv[:cp_n, h] = v_all * hm
-        for pi in range(cp_n):
-            g = p0 + pi
-            q2 = q_ref[g * m:(g + 1) * m, :]
-            km2 = km_ref[pi * num_heads * m:(pi + 1) * num_heads * m, :]
-            bias = bias_ref[0, 1] if g == npair - 1 else bias_ref[0, 0]
-            lg_ref[pi * m:(pi + 1) * m, :] = jax.lax.dot_general(
-                q2, km2, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) + bias
+            if interpret:
+                # interpret mode cannot discharge writes through reshaped
+                # refs; identical contents via per-(pair, head) 2D slices
+                for pi in range(cp_n):
+                    kp = k_ref[(p0 + pi) * m:(p0 + pi + 1) * m, :]
+                    vp = v_ref[(p0 + pi) * m:(p0 + pi + 1) * m, :]
+                    for h in range(num_heads):
+                        hm = hmask_ref[h][None, :]
+                        r0 = (pi * num_heads + h) * m
+                        km_ref[r0:r0 + m, :] = kp * hm
+                        vm_ref[r0:r0 + m, :] = vp * hm
+            else:
+                k_all = k_ref[p0 * m:(p0 + cp_n) * m, :].reshape(cp_n, m, c)
+                v_all = v_ref[p0 * m:(p0 + cp_n) * m, :].reshape(cp_n, m, c)
+                for h in range(num_heads):
+                    hm = hmask_ref[h][None, None, :]
+                    kmv[:cp_n, h] = k_all * hm
+                    vmv[:cp_n, h] = v_all * hm
+            for pi in range(cp_n):
+                g = p0 + pi
+                q2 = q_ref[g * m:(g + 1) * m, :]
+                km2 = km_ref[pi * num_heads * m:(pi + 1) * num_heads * m, :]
+                bias = bias_ref[0, 1] if g == npair - 1 else bias_ref[0, 0]
+                lg_ref[pi * m:(pi + 1) * m, :] = jax.lax.dot_general(
+                    q2, km2, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) + bias
         for h in range(num_heads):
             blk = lg_ref[:cp_n * m, h * m:(h + 1) * m]
             mx = jnp.max(blk, axis=1, keepdims=True)
             e = jnp.exp(blk - mx)
             p_ref[:cp_n * m, h * m:(h + 1) * m] = \
                 (e / jnp.sum(e, axis=1, keepdims=True)).astype(p_ref.dtype)
-        for pi in range(cp_n):
-            g = p0 + pi
-            vm2 = vm_ref[pi * num_heads * m:(pi + 1) * num_heads * m, :]
-            ov = jax.lax.dot_general(
-                p_ref[pi * m:(pi + 1) * m, :], vm2,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            attn_ref[g * m:(g + 1) * m, :] = ov.astype(attn_ref.dtype)
+        if g2:
+            for pi in range(cp_n):
+                g = p0 + pi
+                for gr in range(ngr):
+                    base = (pi * ngr + gr) * 2 * m
+                    vm2 = vm_ref[base:base + 2 * m, :]
+                    ov = jax.lax.dot_general(
+                        p_ref[pi * m:(pi + 1) * m,
+                              2 * gr * m:(2 * gr + 2) * m], vm2,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    attn_ref[g * m:(g + 1) * m,
+                             2 * gr * hp:(2 * gr + 2) * hp] = \
+                        ov.astype(attn_ref.dtype)
+        else:
+            for pi in range(cp_n):
+                g = p0 + pi
+                vm2 = vm_ref[pi * num_heads * m:(pi + 1) * num_heads * m, :]
+                ov = jax.lax.dot_general(
+                    p_ref[pi * m:(pi + 1) * m, :], vm2,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                attn_ref[g * m:(g + 1) * m, :] = ov.astype(attn_ref.dtype)
 
     proj = jax.lax.dot_general(
         attn_ref[:], wproj_ref[:], (((1,), (0,)), ((), ())),
@@ -548,7 +611,10 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     strips = b * rows_per_img
     groups = 2 * rows_per_img
 
-    if attn_mode == "paired" and (nwin % 2 != 0 or mask is not None):
+    if attn_mode == "paired2" and num_heads % 2 != 0:
+        attn_mode = "paired"  # 2-head grouping needs even heads
+    if attn_mode in ("paired", "paired2") and \
+            (nwin % 2 != 0 or mask is not None):
         attn_mode = "stacked"  # pairing needs even windows; full-mask mode
         # (arbitrary per-window masks) stays on the stacked path
 
@@ -557,7 +623,8 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         head_mask[hh, hh * hd:(hh + 1) * hd] = 1.0
     hmask = jnp.asarray(head_mask, dtype=x.dtype)
 
-    if attn_mode == "paired":
+    if attn_mode in ("paired", "paired2"):
+        g2 = attn_mode == "paired2"
         m = 2 * n
         npair = nwin // 2
         chunk = next(cc for cc in (16, 8, 4, 2, 1) if npair % cc == 0)
@@ -583,9 +650,40 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                                 memory_space=pltpu.VMEM)
 
         scale = hd ** -0.5
+        if g2:
+            # head-major 32-padded q/k/v columns + row-matched proj (the
+            # perhead trick): in-kernel slices become aligned 32-lane blocks
+            hp2 = -(-hd // 32) * 32
+            cp2 = num_heads * hp2
+
+            def pad_cols_g2(wmat, bvec):
+                pw, pb = [], []
+                for hh in range(num_heads):
+                    pw.append(wmat[:, hh * hd:(hh + 1) * hd])
+                    pb.append(bvec[hh * hd:(hh + 1) * hd])
+                    if hp2 > hd:
+                        pw.append(jnp.zeros((c, hp2 - hd), wmat.dtype))
+                        pb.append(jnp.zeros((hp2 - hd,), bvec.dtype))
+                return jnp.concatenate(pw, axis=1), jnp.concatenate(pb)
+
+            wq_a, bq_a = pad_cols_g2(wqkv[:, :c] * scale, bqkv[:c] * scale)
+            wk_a, bk_a = pad_cols_g2(wqkv[:, c:2 * c], bqkv[c:2 * c])
+            wv_a, bv_a = pad_cols_g2(wqkv[:, 2 * c:], bqkv[2 * c:])
+            prj = []
+            for hh in range(num_heads):
+                prj.append(wproj[hh * hd:(hh + 1) * hd])
+                if hp2 > hd:
+                    prj.append(jnp.zeros((hp2 - hd, c), wproj.dtype))
+            wp_a = jnp.concatenate(prj, axis=0)
+        else:
+            hp2, cp2 = hd, c
+            wq_a, bq_a = wqkv[:, :c] * scale, bqkv[:c] * scale
+            wk_a, bk_a = wqkv[:, c:2 * c], bqkv[c:2 * c]
+            wv_a, bv_a = wqkv[:, 2 * c:], bqkv[2 * c:]
+            wp_a = wproj
         kernel = functools.partial(
             _strip_kernel_paired, num_heads=num_heads, head_dim=hd,
-            nwin=nwin, ws=ws, dc=dc, chunk=chunk,
+            nwin=nwin, ws=ws, dc=dc, chunk=chunk, g2=g2,
             fuse_mlp=mlp is not None, interpret=interpret)
         mlp_specs, mlp_args = [], []
         if mlp is not None:
@@ -597,6 +695,9 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
             mlp_args = [ln2w.astype(jnp.float32), ln2b.astype(jnp.float32),
                         w1.astype(x.dtype), b1.astype(jnp.float32),
                         w2.astype(x.dtype), b2.astype(jnp.float32)]
+        kv_rows = (chunk * num_heads * m) if not g2 \
+            else (chunk * (num_heads // 2) * 2 * m)
+        kv_cols = c if not g2 else 2 * hp2
         out = pl.pallas_call(
             kernel,
             grid=(strips,),
@@ -606,9 +707,9 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                 pl.BlockSpec((1, 1, s, w, c), idxp(d0 + 1),
                              memory_space=pltpu.VMEM),
                 repp((c,)), repp((c,)),
-                repp((c, c)), repp((c, c)), repp((c, c)),
-                repp((c,)), repp((c,)), repp((c,)),
-                repp((c, c)), repp((c,)),
+                repp((c, cp2)), repp((c, cp2)), repp((c, cp2)),
+                repp((cp2,)), repp((cp2,)), repp((cp2,)),
+                repp((cp2, c)), repp((c,)),
                 bias_spec,
                 repp((num_heads, c)),
             ] + mlp_specs,
@@ -617,13 +718,13 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((strips, 1, ws, w, c), x.dtype),
             scratch_shapes=[
-                pltpu.VMEM((nwin * n, c), x.dtype),   # xw
-                pltpu.VMEM((nwin * n, c), x.dtype),   # q
-                pltpu.VMEM((nwin * n, c), x.dtype),   # k
-                pltpu.VMEM((nwin * n, c), x.dtype),   # v
-                pltpu.VMEM((nwin * n, c), x.dtype),   # attn
-                pltpu.VMEM((chunk * num_heads * m, c), x.dtype),  # km
-                pltpu.VMEM((chunk * num_heads * m, c), x.dtype),  # vm
+                pltpu.VMEM((nwin * n, c), x.dtype),     # xw
+                pltpu.VMEM((nwin * n, cp2), x.dtype),   # q
+                pltpu.VMEM((nwin * n, cp2), x.dtype),   # k
+                pltpu.VMEM((nwin * n, cp2), x.dtype),   # v
+                pltpu.VMEM((nwin * n, cp2), x.dtype),   # attn
+                pltpu.VMEM((kv_rows, kv_cols), x.dtype),  # km
+                pltpu.VMEM((kv_rows, kv_cols), x.dtype),  # vm
                 pltpu.VMEM((chunk * m, num_heads * m), jnp.float32),  # lg
                 pltpu.VMEM((chunk * m, num_heads * m), x.dtype),      # p
             ],
@@ -631,13 +732,10 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(xg, xg, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
-          (wqkv[:, :c] * scale).astype(x.dtype),
-          wqkv[:, c:2 * c].astype(x.dtype),
-          wqkv[:, 2 * c:].astype(x.dtype),
-          (bqkv[:c] * scale).astype(jnp.float32),
-          bqkv[c:2 * c].astype(jnp.float32),
-          bqkv[2 * c:].astype(jnp.float32),
-          wproj.astype(x.dtype), bproj.astype(jnp.float32),
+          wq_a.astype(x.dtype), wk_a.astype(x.dtype), wv_a.astype(x.dtype),
+          bq_a.astype(jnp.float32), bk_a.astype(jnp.float32),
+          bv_a.astype(jnp.float32),
+          wp_a.astype(x.dtype), bproj.astype(jnp.float32),
           bias, hmask, *mlp_args)
         return out.reshape(b, h, w, c)
 

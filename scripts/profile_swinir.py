@@ -87,7 +87,7 @@ def main():
     mlp_params = (lnw, lnb, w1, b1, w2, b2)
 
     t_attn = {}
-    for mode in ("stacked", "perhead", "paired"):
+    for mode in ("stacked", "paired", "paired2"):
         f = loop(lambda xx, m=mode: swin_strip_pallas(
             xx, lnw, lnb, wqkv, bqkv, wproj, bproj, rpb,
             num_heads=heads, ws=ws, attn_mode=m))
@@ -97,6 +97,19 @@ def main():
         xx, lnw, lnb, wqkv, bqkv, wproj, bproj, rpb,
         num_heads=heads, ws=ws, attn_mode="paired", mlp=mlp_params))
     t_fused = report("full block [paired+mlp fused]", f, x)
+
+    f = loop(lambda xx: swin_strip_pallas(
+        xx, lnw, lnb, wqkv, bqkv, wproj, bproj, rpb,
+        num_heads=heads, ws=ws, attn_mode="paired2", mlp=mlp_params))
+    t_fused2 = report("full block [paired2+mlp fused]", f, x)
+
+    f = loop(lambda xx: swin_strip_pallas(
+        xx, lnw, lnb, wqkv, bqkv, wproj, bproj, rpb,
+        num_heads=heads, ws=ws, dc=-4, mask_bank=jnp.asarray(
+            shift_attention_mask(2 * ws, 2 * ws, ws, ws // 2)
+            .reshape(2, 2, n, n)),
+        attn_mode="paired2", mlp=mlp_params))
+    t_fused2_shift = report("full block [paired2+mlp fused, shift]", f, x)
 
     bank = jnp.asarray(shift_attention_mask(2 * ws, 2 * ws, ws, ws // 2)
                        .reshape(2, 2, n, n))

@@ -247,3 +247,57 @@ class TestPerHeadMode:
                               mask_bank=_bank(), dc=-S,
                               attn_mode="perhead", interpret=True)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+class TestPaired2Mode:
+    def test_paired2_matches_stacked(self, rng):
+        """attn_mode='paired2' (2-head block-diagonal K/V groups, 64-wide
+        contraction) == stacked, for unshifted, shifted+bank and folded
+        roll."""
+        x, ps = _strip_args(rng, 4 * WS, 4 * WS)
+        for dc, bank in ((0, None), (0, _bank()), (-S, _bank()), (S, None)):
+            a = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                  mask_bank=bank, dc=dc,
+                                  attn_mode="stacked", interpret=True)
+            b = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                  mask_bank=bank, dc=dc,
+                                  attn_mode="paired2", interpret=True)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
+
+    def test_paired2_fused_mlp(self, rng):
+        from image_restoration_agent_tpu.ops.pallas_attention import (
+            mlp_block_pallas)
+
+        x, ps = _strip_args(rng, 2 * WS, 4 * WS)
+        mlp = TestFusedMlp._mlp_params(TestFusedMlp(), rng)
+        attn_only = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                      mask_bank=_bank(), dc=-S,
+                                      attn_mode="paired2", interpret=True)
+        tok = mlp_block_pallas(attn_only.reshape(-1, C), *mlp,
+                               interpret=True)
+        want = tok.reshape(attn_only.shape)
+        got = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                mask_bank=_bank(), dc=-S,
+                                attn_mode="paired2", mlp=mlp,
+                                interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5)
+
+    def test_odd_heads_falls_back(self, rng):
+        """num_heads odd -> paired2 silently routes to paired. C=8 with one
+        head exercises the fallback (8 % 2 == 0 heads requirement)."""
+        x = jnp.asarray(rng.standard_normal((1, 2 * WS, 2 * WS, C),
+                                            dtype=np.float32))
+        _, ps = _strip_args(rng, 2 * WS, 2 * WS)
+        ln_s, ln_b, wqkv, bqkv, wproj, bproj, _ = ps
+        table = jnp.asarray(
+            rng.standard_normal((N, N, 1)).astype(np.float32))
+        rpb1 = table.transpose(2, 0, 1)
+        a = swin_strip_pallas(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
+                              rpb1, None, num_heads=1, ws=WS,
+                              attn_mode="stacked", interpret=True)
+        b = swin_strip_pallas(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
+                              rpb1, None, num_heads=1, ws=WS,
+                              attn_mode="paired2", interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
