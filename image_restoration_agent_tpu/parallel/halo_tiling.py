@@ -3,11 +3,21 @@
 ``tile_parallel.tiled_apply_sharded`` is simple and correct but every chip
 scatters into a FULL output canvas and one psum merges them — O(D * canvas)
 ICI traffic and memory. This module implements the TPU-native design
-(SURVEY.md §5.7): the canvas is sharded by rows across the ``tile`` axis,
-each chip computes only the tile-rows it owns, and the only communication
-is a ``ppermute`` of the (overlap * scale)-row halo each chip's last tile
-row spills into its lower neighbor. ICI traffic drops from
-O(D * H * W * C) to O(D * overlap * W * C).
+(SURVEY.md §5.7):
+
+- the INPUT is row-sharded over the ``tile`` axis (spec P(axis)); each chip
+  fetches the ``overlap`` input rows it needs from its lower neighbor with
+  one backward ``ppermute`` (the last chip takes the replicated
+  ``overlap``-row remainder instead);
+- each chip computes only the tile-rows it owns and blends locally;
+- one forward ``ppermute`` hands the (overlap * scale)-row output halo each
+  chip's last tile row spills into its lower neighbor;
+- the final ``overlap`` output rows are produced by the LAST chip inside
+  the same program and returned through a second (small) sharded output —
+  no replicated recompute outside the shard_map.
+
+Total ICI traffic: O(D * overlap * W * C) in each direction, and both
+input and output live sharded.
 
 Constraints (asserted): after padding, (H - tile) % stride == 0 and the
 number of tile rows is divisible by the device count. ``halo_pad_height``
@@ -20,7 +30,6 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -68,15 +77,27 @@ def tiled_apply_halo(
     halo = overlap * scale
     strip_in_rows = (rows_per - 1) * stride + tile   # input rows needed
     own_rows = rows_per * stride                     # output rows owned
-    # the last device's strip extends `overlap` beyond own_rows; handled by
-    # keeping a local canvas of strip_in_rows*scale and exchanging the tail.
+    # h == d * own_rows + overlap: the remainder rows ride in replicated
 
-    def shard_fn(img_full):
-        img_full = img_full.reshape(h, w, cin)
+    # probe output channels once (trace-time)
+    fn_out_c = jax.eval_shape(
+        fn, jax.ShapeDtypeStruct((1, tile, tile, cin), img.dtype)).shape[-1]
+
+    img_main = img[: d * own_rows]        # sharded P(axis)
+    img_extra = img[d * own_rows:]        # (overlap, w, cin), replicated
+
+    def shard_fn(block, extra):
+        # block: (own_rows, w, cin) this chip's input rows
         me = jax.lax.axis_index(axis)
-        r0 = me * rows_per
-        strip = jax.lax.dynamic_slice(
-            img_full, (r0 * stride, 0, 0), (strip_in_rows, w, cin))
+        extra = jax.lax.pcast(extra, (axis,), to="varying")
+
+        # input halo: my strip needs the next chip's first `overlap` rows;
+        # the last chip takes the replicated remainder instead
+        head = block[:overlap]
+        recv_head = jax.lax.ppermute(
+            head, axis, [(i, i - 1) for i in range(1, d)])
+        nxt = jnp.where(me == d - 1, extra, recv_head)
+        strip = jnp.concatenate([block, nxt], axis=0)
 
         canvas = jnp.zeros((strip_in_rows * scale, w * scale, fn_out_c),
                            jnp.float32)
@@ -103,56 +124,29 @@ def tiled_apply_halo(
                 weight = jax.lax.dynamic_update_slice(
                     weight, curw + 1.0, (oy, ox, 0))
 
-        # halo exchange: my canvas tail overlaps neighbor (me+1)'s head.
+        # output halo exchange: my canvas tail overlaps neighbor (me+1)'s
+        # head. device 0 receives zeros (no source) — ppermute semantics.
         perm = [(i, i + 1) for i in range(d - 1)]
         tail_c = canvas[own_rows * scale:]
         tail_w = weight[own_rows * scale:]
         recv_c = jax.lax.ppermute(tail_c, axis, perm)
         recv_w = jax.lax.ppermute(tail_w, axis, perm)
-        # device 0 receives zeros (no source) — ppermute semantics.
         canvas = canvas.at[:halo].add(recv_c)
         weight = weight.at[:halo].add(recv_w)
 
-        out_strip = (canvas / jnp.maximum(weight, 1e-8))[: own_rows * scale]
-        return out_strip
+        blended = canvas / jnp.maximum(weight, 1e-8)
+        out_strip = blended[: own_rows * scale]
+        # valid only on the LAST chip (its final tile row's bottom rows);
+        # other chips' tails were already merged into their neighbor
+        tail_strip = blended[own_rows * scale:]
+        return out_strip, tail_strip
 
-    # probe output channels once (trace-time)
-    fn_out_c = jax.eval_shape(
-        fn, jax.ShapeDtypeStruct((1, tile, tile, cin), img.dtype)).shape[-1]
-
-    out = shard_map(
+    out, tails = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=P(),               # input replicated (small vs SR output)
-        out_specs=P(axis, None, None),
-    )(img.reshape(-1))
+        in_specs=(P(axis, None, None), P()),
+        out_specs=(P(axis, None, None), P(axis, None, None)),
+    )(img_main, img_extra)
 
-    # the final `overlap` output rows live only in the last device's
-    # unreturned tail; reconstruct them by running the last tile row's
-    # bottom overlap locally is unnecessary: instead extend the canvas by
-    # one halo using the replicated input on the host side of the program.
-    # Simpler: own_rows*d = n_rows*stride = h - tile + stride = h - overlap;
-    # the remaining `overlap` rows come from an extra strip computed on the
-    # last device — here we recompute the final tile row's tail on device 0
-    # cheaply via fn on the last row of tiles.
-    tail_img = img[h - tile:, :, :]
-    tail_patches = jnp.stack([tail_img[:, ws_: ws_ + tile, :]
-                              for ws_ in w_starts])
-    tail_out = fn(tail_patches).astype(jnp.float32)
-    tail_canvas = jnp.zeros((ts, w * scale, fn_out_c), jnp.float32)
-    tail_weight = jnp.zeros((ts, w * scale, 1), jnp.float32)
-    for j, ws_ in enumerate(w_starts):
-        ox = ws_ * scale
-        tail_canvas = jax.lax.dynamic_update_slice(
-            tail_canvas,
-            jax.lax.dynamic_slice(tail_canvas, (0, ox, 0),
-                                  (ts, ts, fn_out_c)) + tail_out[j],
-            (0, ox, 0))
-        tail_weight = jax.lax.dynamic_update_slice(
-            tail_weight,
-            jax.lax.dynamic_slice(tail_weight, (0, ox, 0), (ts, ts, 1))
-            + 1.0,
-            (0, ox, 0))
-    tail_final = (tail_canvas / jnp.maximum(tail_weight, 1e-8))[-halo:]
-
-    return jnp.concatenate([out, tail_final], axis=0)
+    # the final `overlap` output rows live in the last chip's tail block
+    return jnp.concatenate([out, tails[(d - 1) * halo:]], axis=0)
