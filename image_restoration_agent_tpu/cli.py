@@ -65,6 +65,14 @@ def main(argv=None):
     pir.add_argument("output_dir", help="agent output dir with run subdirs")
     pir.add_argument("--store", default="retrieval_store.npz")
 
+    pw = sub.add_parser(
+        "convert-weights",
+        help="convert a downloaded reference checkpoint to orbax")
+    pw.add_argument("model", help="registry/manifest name, or 'list'")
+    pw.add_argument("--ckpt", help="path to the downloaded checkpoint")
+    pw.add_argument("--out", default="weights",
+                    help="orbax weight root (engine weight_dir)")
+
     pv = sub.add_parser("eval-suite",
                         help="run the 16-combo agent benchmark")
     pv.add_argument("--work-dir", default="eval_suite_work")
@@ -98,6 +106,22 @@ def main(argv=None):
                           executor=build_default_executor(fast=args.fast))
         print(f"agent API on {args.host}:{srv.server_address[1]}")
         srv.serve_forever()
+    elif args.cmd == "convert-weights":
+        from .convert.manifest import MANIFEST, convert_checkpoint, get_entry
+
+        if args.model == "list":
+            for e in MANIFEST:
+                print(f"{e.model:22s} {e.ckpt_file:55s} {e.source}")
+        else:
+            entry = get_entry(args.model)
+            if not args.ckpt:
+                print(json.dumps({
+                    "model": entry.model, "ckpt_file": entry.ckpt_file,
+                    "source": entry.source, "rules": entry.rules,
+                    "notes": entry.notes}))
+            else:
+                out = convert_checkpoint(args.model, args.ckpt, args.out)
+                print(json.dumps({"orbax_dir": str(out)}))
     elif args.cmd == "eval-service":
         from .api.eval_service import make_eval_server
 
