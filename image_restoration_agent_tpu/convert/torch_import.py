@@ -1141,3 +1141,364 @@ def combiner_rules() -> list[Rule]:
         (r"dynamic_scalar\.3\.bias", r"ds_out/bias", t_id),
         (r"logit_scale", "", t_id),
     ]
+
+
+def _sd_transformer_rules(src: str, dst: str) -> list[Rule]:
+    """SpatialTransformer (SD2.1 linear in/out) under ``src`` -> ``dst``."""
+    rules: list[Rule] = [
+        (rf"{src}\.norm\.weight", rf"{dst}/norm/scale", t_id),
+        (rf"{src}\.norm\.bias", rf"{dst}/norm/bias", t_id),
+        (rf"{src}\.proj_in\.weight", rf"{dst}/proj_in/kernel", t_linear),
+        (rf"{src}\.proj_in\.bias", rf"{dst}/proj_in/bias", t_id),
+        (rf"{src}\.proj_out\.weight", rf"{dst}/proj_out/kernel", t_linear),
+        (rf"{src}\.proj_out\.bias", rf"{dst}/proj_out/bias", t_id),
+    ]
+    tb = rf"{src}\.transformer_blocks\.0"
+    db = rf"{dst}/block0"
+    for a in ("attn1", "attn2"):
+        for p in ("to_q", "to_k", "to_v"):
+            rules.append((rf"{tb}\.{a}\.{p}\.weight",
+                          rf"{db}/{a}/{p}/kernel", t_linear))
+        rules += [
+            (rf"{tb}\.{a}\.to_out\.0\.weight", rf"{db}/{a}/to_out/kernel",
+             t_linear),
+            (rf"{tb}\.{a}\.to_out\.0\.bias", rf"{db}/{a}/to_out/bias",
+             t_id),
+        ]
+    for i in (1, 2, 3):
+        rules += [
+            (rf"{tb}\.norm{i}\.weight", rf"{db}/norm{i}/scale", t_id),
+            (rf"{tb}\.norm{i}\.bias", rf"{db}/norm{i}/bias", t_id),
+        ]
+    rules += [
+        (rf"{tb}\.ff\.net\.0\.proj\.weight", rf"{db}/ff_in/kernel",
+         t_linear),
+        (rf"{tb}\.ff\.net\.0\.proj\.bias", rf"{db}/ff_in/bias", t_id),
+        (rf"{tb}\.ff\.net\.2\.weight", rf"{db}/ff_out/kernel", t_linear),
+        (rf"{tb}\.ff\.net\.2\.bias", rf"{db}/ff_out/bias", t_id),
+    ]
+    return rules
+
+
+def _sd_resblock_rules(src: str, dst: str) -> list[Rule]:
+    return [
+        (rf"{src}\.in_layers\.0\.weight", rf"{dst}/in_norm/scale", t_id),
+        (rf"{src}\.in_layers\.0\.bias", rf"{dst}/in_norm/bias", t_id),
+        (rf"{src}\.in_layers\.2\.weight", rf"{dst}/in_conv/Conv_0/kernel",
+         t_conv),
+        (rf"{src}\.in_layers\.2\.bias", rf"{dst}/in_conv/Conv_0/bias",
+         t_id),
+        (rf"{src}\.emb_layers\.1\.weight", rf"{dst}/emb_proj/kernel",
+         t_linear),
+        (rf"{src}\.emb_layers\.1\.bias", rf"{dst}/emb_proj/bias", t_id),
+        (rf"{src}\.out_layers\.0\.weight", rf"{dst}/out_norm/scale", t_id),
+        (rf"{src}\.out_layers\.0\.bias", rf"{dst}/out_norm/bias", t_id),
+        (rf"{src}\.out_layers\.3\.weight", rf"{dst}/out_conv/Conv_0/kernel",
+         t_conv),
+        (rf"{src}\.out_layers\.3\.bias", rf"{dst}/out_conv/Conv_0/bias",
+         t_id),
+        (rf"{src}\.skip_connection\.weight", rf"{dst}/skip/Conv_0/kernel",
+         t_conv),
+        (rf"{src}\.skip_connection\.bias", rf"{dst}/skip/Conv_0/bias",
+         t_id),
+    ]
+
+
+def _sd_unet_core_rules(src: str, dst: str, channel_mult=(1, 2, 4, 4),
+                        num_res_blocks: int = 2,
+                        attention_levels=(0, 1, 2)) -> list[Rule]:
+    """Encoder (input_blocks) + middle of the SD UNet/ControlNet."""
+    rules: list[Rule] = [
+        (rf"{src}\.time_embed\.0\.weight", rf"{dst}/time_fc1/kernel",
+         t_linear),
+        (rf"{src}\.time_embed\.0\.bias", rf"{dst}/time_fc1/bias", t_id),
+        (rf"{src}\.time_embed\.2\.weight", rf"{dst}/time_fc2/kernel",
+         t_linear),
+        (rf"{src}\.time_embed\.2\.bias", rf"{dst}/time_fc2/bias", t_id),
+        (rf"{src}\.input_blocks\.0\.0\.weight",
+         rf"{dst}/in_conv/Conv_0/kernel", t_conv),
+        (rf"{src}\.input_blocks\.0\.0\.bias",
+         rf"{dst}/in_conv/Conv_0/bias", t_id),
+    ]
+    idx = 1
+    for li in range(len(channel_mult)):
+        for bi in range(num_res_blocks):
+            rules += _sd_resblock_rules(rf"{src}\.input_blocks\.{idx}\.0",
+                                        rf"{dst}/down{li}_res{bi}")
+            if li in attention_levels:
+                rules += _sd_transformer_rules(
+                    rf"{src}\.input_blocks\.{idx}\.1",
+                    rf"{dst}/down{li}_attn{bi}")
+            idx += 1
+        if li < len(channel_mult) - 1:
+            rules += [
+                (rf"{src}\.input_blocks\.{idx}\.0\.op\.weight",
+                 rf"{dst}/down{li}_downsample/kernel", t_conv),
+                (rf"{src}\.input_blocks\.{idx}\.0\.op\.bias",
+                 rf"{dst}/down{li}_downsample/bias", t_id),
+            ]
+            idx += 1
+    rules += _sd_resblock_rules(rf"{src}\.middle_block\.0",
+                                rf"{dst}/mid_res1")
+    rules += _sd_transformer_rules(rf"{src}\.middle_block\.1",
+                                   rf"{dst}/mid_attn")
+    rules += _sd_resblock_rules(rf"{src}\.middle_block\.2",
+                                rf"{dst}/mid_res2")
+    return rules
+
+
+def _vae_rules(src: str, dst: str, ch_mult=(1, 2, 4, 4),
+               num_res_blocks: int = 2,
+               parts=("encoder", "decoder", "quant", "post_quant")
+               ) -> list[Rule]:
+    """taming AutoencoderKL under ``src`` -> diffbir/vae.py names."""
+
+    def res(sp, dp):
+        out = []
+        for a, b in (("norm1", "norm1"), ("norm2", "norm2")):
+            out += [(rf"{sp}\.{a}\.weight", rf"{dp}/{b}/scale", t_id),
+                    (rf"{sp}\.{a}\.bias", rf"{dp}/{b}/bias", t_id)]
+        for a in ("conv1", "conv2", "nin_shortcut"):
+            out += [(rf"{sp}\.{a}\.weight", rf"{dp}/{a}/Conv_0/kernel",
+                     t_conv),
+                    (rf"{sp}\.{a}\.bias", rf"{dp}/{a}/Conv_0/bias", t_id)]
+        return out
+
+    def attn(sp, dp):
+        out = [(rf"{sp}\.norm\.weight", rf"{dp}/norm/scale", t_id),
+               (rf"{sp}\.norm\.bias", rf"{dp}/norm/bias", t_id)]
+        for a in ("q", "k", "v", "proj_out"):
+            out += [(rf"{sp}\.{a}\.weight", rf"{dp}/{a}/Conv_0/kernel",
+                     t_conv),
+                    (rf"{sp}\.{a}\.bias", rf"{dp}/{a}/Conv_0/bias", t_id)]
+        return out
+
+    rules: list[Rule] = []
+    for part in parts:
+        if part == "quant":
+            rules += [(rf"{src}\.quant_conv\.weight",
+                       rf"{dst}/quant_conv/Conv_0/kernel", t_conv),
+                      (rf"{src}\.quant_conv\.bias",
+                       rf"{dst}/quant_conv/Conv_0/bias", t_id)]
+            continue
+        if part == "post_quant":
+            rules += [(rf"{src}\.post_quant_conv\.weight",
+                       rf"{dst}/post_quant_conv/Conv_0/kernel", t_conv),
+                      (rf"{src}\.post_quant_conv\.bias",
+                       rf"{dst}/post_quant_conv/Conv_0/bias", t_id)]
+            continue
+        sp, dp = rf"{src}\.{part}", rf"{dst}/{part}"
+        rules += [
+            (rf"{sp}\.conv_in\.weight", rf"{dp}/conv_in/Conv_0/kernel",
+             t_conv),
+            (rf"{sp}\.conv_in\.bias", rf"{dp}/conv_in/Conv_0/bias", t_id),
+            (rf"{sp}\.norm_out\.weight", rf"{dp}/norm_out/scale", t_id),
+            (rf"{sp}\.norm_out\.bias", rf"{dp}/norm_out/bias", t_id),
+            (rf"{sp}\.conv_out\.weight", rf"{dp}/conv_out/Conv_0/kernel",
+             t_conv),
+            (rf"{sp}\.conv_out\.bias", rf"{dp}/conv_out/Conv_0/bias", t_id),
+        ]
+        rules += res(rf"{sp}\.mid\.block_1", rf"{dp}/mid_block1")
+        rules += attn(rf"{sp}\.mid\.attn_1", rf"{dp}/mid_attn")
+        rules += res(rf"{sp}\.mid\.block_2", rf"{dp}/mid_block2")
+        if part == "encoder":
+            for i in range(len(ch_mult)):
+                for j in range(num_res_blocks):
+                    rules += res(rf"{sp}\.down\.{i}\.block\.{j}",
+                                 rf"{dp}/down{i}_block{j}")
+                rules += [
+                    (rf"{sp}\.down\.{i}\.downsample\.conv\.weight",
+                     rf"{dp}/down{i}_downsample/kernel", t_conv),
+                    (rf"{sp}\.down\.{i}\.downsample\.conv\.bias",
+                     rf"{dp}/down{i}_downsample/bias", t_id),
+                ]
+        else:  # decoder: taming's up[i] is resolution level i (built in
+            #    reverse), 3 blocks per level, upsample on levels > 0
+            for i in range(len(ch_mult)):
+                for j in range(num_res_blocks + 1):
+                    rules += res(rf"{sp}\.up\.{i}\.block\.{j}",
+                                 rf"{dp}/up{i}_block{j}")
+                rules += [
+                    (rf"{sp}\.up\.{i}\.upsample\.conv\.weight",
+                     rf"{dp}/up{i}_upsample/Conv_0/kernel", t_conv),
+                    (rf"{sp}\.up\.{i}\.upsample\.conv\.bias",
+                     rf"{dp}/up{i}_upsample/Conv_0/bias", t_id),
+                ]
+    return rules
+
+
+def diffbir_rules(channel_mult=(1, 2, 4, 4), num_res_blocks: int = 2,
+                  attention_levels=(0, 1, 2)) -> list[Rule]:
+    """DiffBIR v1 full checkpoint (general_full_v1.ckpt) ->
+    models/diffbir/ pipeline params.
+
+    Covers: model.diffusion_model (SD2.1 UNet incl. output blocks),
+    control_model (ControlNet: shared encoder + zero convs),
+    first_stage_model (VAE), cond_encoder (the separately-finetuned hint
+    encoder, cldm.py:313-323), preprocess_model (stage-1 SwinIR with
+    pixel-unshuffle input and nearest+conv head). The OpenCLIP
+    cond_stage_model is consumed separately by
+    ``extract_empty_context`` and dropped here, as are the LDM schedule
+    buffers and EMA shadows.
+    """
+    L = len(channel_mult)
+    um = r"model\.diffusion_model"
+    du = r"diffusion_model"
+    rules = _sd_unet_core_rules(um, du, channel_mult, num_res_blocks,
+                                attention_levels)
+    # UNet output blocks
+    idx = 0
+    for li in reversed(range(L)):
+        for bi in range(num_res_blocks + 1):
+            rules += _sd_resblock_rules(rf"{um}\.output_blocks\.{idx}\.0",
+                                        rf"{du}/up{li}_res{bi}")
+            sub = 1
+            if li in attention_levels:
+                rules += _sd_transformer_rules(
+                    rf"{um}\.output_blocks\.{idx}\.1",
+                    rf"{du}/up{li}_attn{bi}")
+                sub = 2
+            if li > 0 and bi == num_res_blocks:
+                rules += [
+                    (rf"{um}\.output_blocks\.{idx}\.{sub}\.conv\.weight",
+                     rf"{du}/up{li}_upsample/Conv_0/kernel", t_conv),
+                    (rf"{um}\.output_blocks\.{idx}\.{sub}\.conv\.bias",
+                     rf"{du}/up{li}_upsample/Conv_0/bias", t_id),
+                ]
+            idx += 1
+    rules += [
+        (rf"{um}\.out\.0\.weight", rf"{du}/out_norm/scale", t_id),
+        (rf"{um}\.out\.0\.bias", rf"{du}/out_norm/bias", t_id),
+        (rf"{um}\.out\.2\.weight", rf"{du}/out_conv/kernel", t_conv),
+        (rf"{um}\.out\.2\.bias", rf"{du}/out_conv/bias", t_id),
+    ]
+
+    # ControlNet: same encoder topology + zero convs
+    cm, dc = r"control_model", r"control_model"
+    rules += _sd_unet_core_rules(cm, dc, channel_mult, num_res_blocks,
+                                 attention_levels)
+    n_inputs = 1 + L * num_res_blocks + (L - 1)
+    for i in range(n_inputs):
+        rules += [
+            (rf"{cm}\.zero_convs\.{i}\.0\.weight",
+             rf"{dc}/zero{i}/conv/kernel", t_conv),
+            (rf"{cm}\.zero_convs\.{i}\.0\.bias",
+             rf"{dc}/zero{i}/conv/bias", t_id),
+        ]
+    rules += [
+        (rf"{cm}\.middle_block_out\.0\.weight",
+         rf"{dc}/zero_mid/conv/kernel", t_conv),
+        (rf"{cm}\.middle_block_out\.0\.bias",
+         rf"{dc}/zero_mid/conv/bias", t_id),
+    ]
+
+    # VAE + the separately-finetuned condition encoder
+    rules += _vae_rules(r"first_stage_model", r"first_stage_model")
+    rules += _vae_rules(r"cond_encoder", r"cond_encoder",
+                        parts=("encoder", "quant"))
+
+    # stage-1 SwinIR: reuse swinir_rules with prefixes; the unshuffle
+    # variant's conv_first is Sequential(PixelUnshuffle, Conv) -> .1
+    pm, dp = r"preprocess_model", r"preprocess_model"
+    for pat, tpl, tr in swinir_rules():
+        if tpl == "":
+            rules.append((rf"{pm}\.{pat}", "", _drop))
+        else:
+            rules.append((rf"{pm}\.{pat}", rf"{dp}/{tpl}", tr))
+    rules += [
+        (rf"{pm}\.conv_first\.1\.weight",
+         rf"{dp}/conv_first/Conv_0/kernel", t_conv),
+        (rf"{pm}\.conv_first\.1\.bias",
+         rf"{dp}/conv_first/Conv_0/bias", t_id),
+        (rf"{pm}\.conv_up(\d)\.weight", None, None),  # placeholder below
+    ]
+    rules.pop()  # (regex backref arithmetic needs explicit entries)
+    for i in (1, 2, 3):
+        rules += [
+            (rf"{pm}\.conv_up{i}\.weight",
+             rf"{dp}/conv_up{i - 1}/Conv_0/kernel", t_conv),
+            (rf"{pm}\.conv_up{i}\.bias",
+             rf"{dp}/conv_up{i - 1}/Conv_0/bias", t_id),
+        ]
+    rules += [
+        (rf"{pm}\.conv_hr\.weight", rf"{dp}/conv_hr/Conv_0/kernel", t_conv),
+        (rf"{pm}\.conv_hr\.bias", rf"{dp}/conv_hr/Conv_0/bias", t_id),
+    ]
+
+    # drops: LDM schedule buffers, EMA shadows, OpenCLIP text stack
+    for pat in (r"betas", r"alphas_cumprod.*", r"sqrt_.*", r"log_.*",
+                r"posterior_.*", r"lvlb_weights", r"logvar",
+                r"model_ema\..*", r"cond_stage_model\..*",
+                r"lq_.*", r"scale_factor"):
+        rules.append((pat, "", _drop))
+    return rules
+
+
+def extract_empty_context(state: dict, context_length: int = 77,
+                          sot: int = 49406, eot: int = 49407,
+                          penultimate: bool = True,
+                          heads: Optional[int] = None) -> np.ndarray:
+    """Compute the OpenCLIP empty-prompt conditioning from a DiffBIR/SD2.1
+    checkpoint's own ``cond_stage_model`` weights — no open_clip needed.
+
+    FrozenOpenCLIPEmbedder(layer="penultimate") semantics: token+pos
+    embed, run all-but-the-last resblock with a causal mask (exact GELU),
+    then ln_final. The empty prompt tokenizes to [SOT, EOT, 0...]. Returns
+    the (context_length, width) array that fills the pipeline's
+    ``empty_context`` parameter at conversion time.
+    """
+    p = "cond_stage_model.model."
+    tok = np.asarray(state[p + "token_embedding.weight"], np.float32)
+    pos = np.asarray(state[p + "positional_embedding"], np.float32)
+    width = tok.shape[1]
+    heads = heads or max(1, width // 64)  # OpenCLIP ViT-H text: 1024/64=16
+    hd = width // heads
+
+    ids = np.zeros(context_length, np.int64)
+    ids[0], ids[1] = sot, eot
+    x = tok[ids] + pos[:context_length]
+
+    def ln(x, prefix):
+        w = np.asarray(state[prefix + ".weight"], np.float32)
+        b = np.asarray(state[prefix + ".bias"], np.float32)
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + 1e-5) * w + b
+
+    def gelu(x):
+        from scipy.special import erf  # exact GELU (open_clip nn.GELU)
+        return 0.5 * x * (1.0 + erf(x / np.sqrt(2.0)))
+
+    n_layers = 0
+    while f"{p}transformer.resblocks.{n_layers}.ln_1.weight" in state:
+        n_layers += 1
+    mask = np.triu(np.full((context_length, context_length), -np.inf), 1)
+
+    for i in range(n_layers - (1 if penultimate else 0)):
+        rb = f"{p}transformer.resblocks.{i}"
+        y = ln(x, rb + ".ln_1")
+        wi = np.asarray(state[rb + ".attn.in_proj_weight"], np.float32)
+        bi = np.asarray(state[rb + ".attn.in_proj_bias"], np.float32)
+        qkv = y @ wi.T + bi
+        q, k, v = np.split(qkv, 3, axis=-1)
+
+        def h(t):
+            return t.reshape(context_length, heads, hd).transpose(1, 0, 2)
+
+        lg = h(q) @ h(k).transpose(0, 2, 1) / np.sqrt(hd) + mask[None]
+        lg = lg - lg.max(-1, keepdims=True)
+        e = np.exp(lg)
+        a = e / e.sum(-1, keepdims=True)
+        o = (a @ h(v)).transpose(1, 0, 2).reshape(context_length, width)
+        wo = np.asarray(state[rb + ".attn.out_proj.weight"], np.float32)
+        bo = np.asarray(state[rb + ".attn.out_proj.bias"], np.float32)
+        x = x + o @ wo.T + bo
+
+        y = ln(x, rb + ".ln_2")
+        w1 = np.asarray(state[rb + ".mlp.c_fc.weight"], np.float32)
+        b1 = np.asarray(state[rb + ".mlp.c_fc.bias"], np.float32)
+        w2 = np.asarray(state[rb + ".mlp.c_proj.weight"], np.float32)
+        b2 = np.asarray(state[rb + ".mlp.c_proj.bias"], np.float32)
+        x = x + gelu(y @ w1.T + b1) @ w2.T + b2
+
+    return ln(x, p + "ln_final")

@@ -26,7 +26,7 @@ from ..registry import ModelSpec, register_model
 from ..swinir import SwinIR
 from .sampler import SpacedSampler
 from .unet import ControlNet, UNetModel
-from .vae import AutoencoderKL
+from .vae import AutoencoderKL, CondEncoder
 
 
 def wavelet_blur(x: jnp.ndarray, radius: int) -> jnp.ndarray:
@@ -85,6 +85,8 @@ class DiffBIRPipeline(nn.Module):
             upscale=8, upsampler="nearest+conv", unshuffle_scale=8,
             img_range=1.0, patch_norm=True, name="preprocess_model")
         self.vae = AutoencoderKL(ch=self.vae_ch, name="first_stage_model")
+        # separately-finetuned hint encoder (cldm.py:313-323)
+        self.cond_encoder = CondEncoder(ch=self.vae_ch, name="cond_encoder")
         self.unet = UNetModel(model_channels=self.model_channels,
                               num_head_channels=self.num_head_channels,
                               name="diffusion_model")
@@ -115,7 +117,7 @@ class DiffBIRPipeline(nn.Module):
         rng = jax.random.PRNGKey(231) if rng is None else rng
         clean = self.clean(lq)
         b, h, w, _ = clean.shape
-        cond_latent = self.vae.encode(clean * 2.0 - 1.0)
+        cond_latent = self.cond_encoder(clean * 2.0 - 1.0)
         context = jnp.broadcast_to(
             self.empty_context, (b, self.context_len, self.context_dim))
 

@@ -220,6 +220,10 @@ class UNetModel(_UNetCore):
 
 
 class ControlNet(_UNetCore):
+    """DiffBIR v1's ControlNet concatenates the latent hint with x at the
+    INPUT (cldm.py:272 ``x = torch.cat((x, hint), dim=1)``; the first conv
+    takes in_channels + hint_channels) — there is no hint-conv stack.
+    Zero-convs tap every input block plus the middle block."""
     hint_channels: int = 4
 
     @nn.compact
@@ -229,18 +233,14 @@ class ControlNet(_UNetCore):
         emb = nn.Dense(self.model_channels * 4,
                        name="time_fc2")(nn.silu(emb))
 
-        guided = Conv(self.model_channels, kernel=3, name="hint_conv")(hint)
         taps: list = []
 
         def tap(h, idx):
             taps.append(ZeroConv(h.shape[-1], name=f"zero{idx}")(h))
             return h
 
-        h, _ = self.encoder_stages(x, emb, context, tap=tap)
-        # inject hint after the first conv tap (reference adds guided hint
-        # to the first input-block output)
-        taps[0] = taps[0] + ZeroConv(self.model_channels,
-                                     name="zero_hint")(guided)
+        h, _ = self.encoder_stages(
+            jnp.concatenate([x, hint], axis=-1), emb, context, tap=tap)
         h = self.middle(h, emb, context)
         taps.append(ZeroConv(h.shape[-1], name="zero_mid")(h))
         return taps

@@ -110,6 +110,25 @@ class Decoder(nn.Module):
         return Conv(self.out_ch, kernel=3, name="conv_out")(y)
 
 
+class CondEncoder(nn.Module):
+    """DiffBIR's condition encoder: a separately-finetuned COPY of the VAE
+    encoder + quant_conv (cldm.py:313-323, keys ``cond_encoder.*``); the
+    hint latent is the distribution MODE times the SD scale factor."""
+    embed_dim: int = 4
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    scale_factor: float = 0.18215
+
+    @nn.compact
+    def __call__(self, x):
+        h = Encoder(self.ch, self.ch_mult, self.num_res_blocks,
+                    self.embed_dim, name="encoder")(x)
+        h = Conv(2 * self.embed_dim, kernel=1, name="quant_conv")(h)
+        mean, _ = jnp.split(h, 2, axis=-1)
+        return mean * self.scale_factor
+
+
 class AutoencoderKL(nn.Module):
     embed_dim: int = 4
     ch: int = 128
