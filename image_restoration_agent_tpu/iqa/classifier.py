@@ -146,3 +146,148 @@ class SeverityEvaluator:
         probs /= probs.sum()
         j = int(probs.argmax())
         return SEVERITY_LEVELS[j], float(probs[j])
+
+
+# ---------------- analytic degradation priors (v3) ----------------
+
+def _lum(x):
+    return (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])
+
+
+def _conv2(img, k):
+    """img: (B, H, W); k: (kh, kw) -> same-size valid-ish conv (SAME)."""
+    b, h, w = img.shape
+    out = jax.lax.conv_general_dilated(
+        img[:, None], jnp.asarray(k, jnp.float32)[None, None], (1, 1),
+        "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return out[:, 0]
+
+
+def degradation_features(x: jnp.ndarray) -> jnp.ndarray:
+    """Hand-derived per-degradation signals, (B, H, W, 3) in [0,1] ->
+    (B, 22). Each block keys directly to one degradation family:
+
+    - darkness: luminance mean + 5/50/95 percentiles;
+    - noise: median-absolute Laplacian (the classic sigma estimate) and
+      checkerboard-residual energy;
+    - blur: gradient energy, fine/coarse spectral ratio, structure-tensor
+      anisotropy (separates motion blur — anisotropic — from defocus);
+    - JPEG: 8-grid blockiness ratio (boundary vs interior discontinuity);
+    - haze: dark-channel-prior mean (min over channels + 7x7 min-pool),
+      saturation mean, local contrast;
+    - rain: bright-streak energy (positive high-pass, vertical-biased).
+    """
+    lum = _lum(x)
+    b = lum.shape[0]
+    flat = lum.reshape(b, -1)
+
+    # darkness
+    q = jnp.quantile(flat, jnp.asarray([0.05, 0.5, 0.95]), axis=-1).T
+    mean_l = flat.mean(-1, keepdims=True)
+
+    # noise: Laplacian MAD + checkerboard residual
+    lap = _conv2(lum, [[0, 1, 0], [1, -4, 1], [0, 1, 0]])
+    lap_mad = jnp.median(jnp.abs(lap).reshape(b, -1), axis=-1,
+                         keepdims=True)
+    chk = _conv2(lum, [[1, -1], [-1, 1]])
+    chk_e = jnp.abs(chk).reshape(b, -1).mean(-1, keepdims=True)
+
+    # gradients / blur
+    gx = _conv2(lum, [[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]]) / 8.0
+    gy = _conv2(lum, [[-1, -2, -1], [0, 0, 0], [1, 2, 1]]) / 8.0
+    ge = (gx * gx + gy * gy).reshape(b, -1)
+    grad_e = ge.mean(-1, keepdims=True)
+    grad_p95 = jnp.quantile(ge, 0.95, axis=-1, keepdims=True)
+    jxx = (gx * gx).reshape(b, -1).mean(-1)
+    jyy = (gy * gy).reshape(b, -1).mean(-1)
+    jxy = (gx * gy).reshape(b, -1).mean(-1)
+    aniso = (jnp.sqrt((jxx - jyy) ** 2 + 4 * jxy ** 2)
+             / (jxx + jyy + 1e-8))[:, None]
+    # fine vs coarse energy: variance of x minus 4x-box-blurred x
+    box = jnp.ones((5, 5), jnp.float32) / 25.0
+    coarse = _conv2(lum, box)
+    fine_e = ((lum - coarse) ** 2).reshape(b, -1).mean(-1, keepdims=True)
+    var_l = flat.var(-1, keepdims=True)
+    hf_ratio = fine_e / (var_l + 1e-8)
+
+    # JPEG blockiness: |column/row jumps| at 8-grid vs elsewhere
+    dx = jnp.abs(lum[:, :, 1:] - lum[:, :, :-1])
+    dy = jnp.abs(lum[:, 1:, :] - lum[:, :-1, :])
+    wcol = dx.shape[2]
+    col_idx = jnp.arange(wcol)
+    at8_c = (col_idx % 8) == 7
+    row_idx = jnp.arange(dy.shape[1])
+    at8_r = (row_idx % 8) == 7
+    bx = dx.mean((1,))  # (B, W-1)
+    by = dy.mean((2,))  # (B, H-1)
+    block_c = (bx * at8_c).sum(-1) / (at8_c.sum() + 1e-8)
+    off_c = (bx * ~at8_c).sum(-1) / ((~at8_c).sum() + 1e-8)
+    block_r = (by * at8_r).sum(-1) / (at8_r.sum() + 1e-8)
+    off_r = (by * ~at8_r).sum(-1) / ((~at8_r).sum() + 1e-8)
+    blockiness = ((block_c + block_r) / (off_c + off_r + 1e-8))[:, None]
+
+    # haze: dark channel prior + saturation + local contrast
+    dark = jnp.min(x, axis=-1)
+    dark = -jax.lax.reduce_window(
+        -dark, -jnp.inf, jax.lax.max, (1, 7, 7), (1, 1, 1), "SAME")
+    dark_mean = dark.reshape(b, -1).mean(-1, keepdims=True)
+    mx = jnp.max(x, axis=-1)
+    mn = jnp.min(x, axis=-1)
+    sat = ((mx - mn) / (mx + 1e-6)).reshape(b, -1).mean(-1, keepdims=True)
+    loc_mu = _conv2(lum, box)
+    loc_var = _conv2(lum * lum, box) - loc_mu * loc_mu
+    contrast = jnp.sqrt(jnp.maximum(loc_var, 0.0)) \
+        .reshape(b, -1).mean(-1, keepdims=True)
+
+    # rain: positive vertical-structure high-pass energy
+    vert = _conv2(lum, [[-0.5], [1.0], [-0.5]])
+    rain_e = jnp.maximum(vert, 0.0).reshape(b, -1).mean(-1, keepdims=True)
+    streak = jnp.maximum(lum - coarse, 0.0)
+    streak_p99 = jnp.quantile(streak.reshape(b, -1), 0.99, axis=-1,
+                              keepdims=True)
+
+    feats = jnp.concatenate([
+        mean_l, q, var_l,
+        lap_mad, chk_e,
+        grad_e, grad_p95, aniso, fine_e, hf_ratio,
+        blockiness, jnp.stack([block_c, off_c, block_r, off_r], axis=-1),
+        dark_mean, sat, contrast,
+        rain_e, streak_p99,
+    ], axis=-1)
+    # log-scale the heavy-tailed energies for a well-conditioned head
+    return jnp.log1p(feats * 100.0)
+
+
+class DegradationClassifierV3(nn.Module):
+    """CNN trunk + analytic degradation priors -> (8, 5) severity logits.
+
+    The priors (dark channel, blockiness, Laplacian MAD, structure-tensor
+    anisotropy...) carry most of the single-degradation signal; the conv
+    trunk handles interactions the priors confound (e.g. noise on dark
+    images, haze + rain)."""
+
+    width: int = 32
+    num_levels: int = len(SEVERITY_LEVELS)
+
+    @nn.compact
+    def __call__(self, x):  # (B, S, S, 3)
+        w = self.width
+        feats = degradation_features(x)
+        y = x
+        for i, f in enumerate((w, w * 2, w * 4, w * 4, w * 8)):
+            y = nn.Conv(f, (3, 3), strides=(2, 2), padding="SAME",
+                        name=f"conv{i}")(y)
+            y = nn.GroupNorm(num_groups=8, name=f"gn{i}")(y)
+            y = nn.gelu(y)
+        y = jnp.mean(y, axis=(1, 2))
+        fe = nn.Dense(w * 4, name="feat_fc")(feats)
+        fe = nn.gelu(fe)
+        z = jnp.concatenate([y, fe], axis=-1)
+        z = nn.Dense(w * 8, name="fc1")(z)
+        z = nn.gelu(z)
+        z = nn.Dense(w * 8, name="fc2")(z)
+        z = nn.gelu(z)
+        logits = nn.Dense(len(DEGRADATIONS) * self.num_levels,
+                          name="head")(z)
+        return logits.reshape(z.shape[0], len(DEGRADATIONS),
+                              self.num_levels)

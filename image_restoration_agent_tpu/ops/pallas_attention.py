@@ -26,6 +26,7 @@ group is w mod nW). rpb is (heads, N, N) f32; mask is (nW, N, N) f32.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -400,9 +401,14 @@ def _strip_kernel_paired(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref,
     elif dc > 0:
         rows = jnp.concatenate([rows[:, w - dc:], rows[:, :w - dc]], axis=1)
 
-    for wi in range(nwin):
-        slab = rows[:, wi * ws:(wi + 1) * ws, :]
-        xw_ref[wi * n:(wi + 1) * n, :] = slab.reshape(n, c)
+    wnd_mode = os.environ.get("SWIN_WND", "loop")
+    if wnd_mode == "xpose":
+        xw_ref[:] = rows.reshape(ws, nwin, ws, c) \
+            .transpose(1, 0, 2, 3).reshape(nwin * n, c)
+    else:
+        for wi in range(nwin):
+            slab = rows[:, wi * ws:(wi + 1) * ws, :]
+            xw_ref[wi * n:(wi + 1) * n, :] = slab.reshape(n, c)
 
     xf = xw_ref[:].astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -541,9 +547,13 @@ def _strip_kernel_paired(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref,
         res32 = res32 + o2
 
     res = res32.astype(out_ref.dtype)
-    for wi in range(nwin):
-        out_ref[0, 0, :, wi * ws:(wi + 1) * ws, :] = \
-            res[wi * n:(wi + 1) * n, :].reshape(ws, ws, c)
+    if wnd_mode == "xpose":
+        out_ref[0, 0] = res.reshape(nwin, ws, ws, c) \
+            .transpose(1, 0, 2, 3).reshape(ws, w, c)
+    else:
+        for wi in range(nwin):
+            out_ref[0, 0, :, wi * ws:(wi + 1) * ws, :] = \
+                res[wi * n:(wi + 1) * n, :].reshape(ws, ws, c)
 
 
 def _paired_bias(rpb, mask_bank, num_heads, n):
@@ -627,7 +637,9 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         g2 = attn_mode == "paired2"
         m = 2 * n
         npair = nwin // 2
-        chunk = next(cc for cc in (16, 8, 4, 2, 1) if npair % cc == 0)
+        pref = int(os.environ.get("SWIN_CHUNK", "16"))
+        chunk = next(cc for cc in (pref, 16, 8, 4, 2, 1)
+                     if cc <= pref and npair % cc == 0)
         bias = _paired_bias(rpb, mask_bank, num_heads, n)
         bias_spec = pl.BlockSpec(
             (1, 2, m, num_heads * m),

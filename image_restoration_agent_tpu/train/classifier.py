@@ -136,3 +136,142 @@ def evaluate_classifier(params, hq_images: list[np.ndarray], n: int = 64,
         which_ok += int(pred_levels.argmax() == true_idx)
         level_ok += int(pred_levels[true_idx] == labels[true_idx])
     return {"dominant_acc": which_ok / n, "severity_acc": level_ok / n}
+
+
+def synthesize_multi(img: np.ndarray, rng: np.random.Generator,
+                     max_ops: int = 3):
+    """Compose 1..max_ops distinct degradations in random order (the
+    agent's real inputs carry 2-3 — dataset/degradations.txt combos);
+    labels carry each applied op's level."""
+    labels = np.zeros(len(DEGRADATIONS), np.int64)
+    k = int(rng.integers(1, max_ops + 1))
+    names = list(rng.choice(
+        [d for d in DEGRADATIONS if d != "low resolution"], size=k,
+        replace=False))
+    out = img
+    for name in names:
+        level = int(rng.integers(1, 5))
+        one = np.zeros(len(DEGRADATIONS), np.int64)
+        out, one = _apply_one(out, name, level, rng)
+        labels = np.maximum(labels, one)
+    return out, labels
+
+
+def _apply_one(img: np.ndarray, name: str, level: int,
+               rng: np.random.Generator):
+    labels = np.zeros(len(DEGRADATIONS), np.int64)
+    arg = _LEVEL_ARGS[name][level]
+    if name == "noise":
+        out = D.add_noise(img, "Gaussian", arg=arg, rng=rng)
+    elif name == "jpeg compression artifact":
+        out = D.add_jpeg_artifacts(img, quality_factor=arg, rng=rng)
+    elif name == "dark":
+        out = D.darken(img, "constant shift", arg=arg, rng=rng)
+    elif name == "motion blur":
+        out = D.add_motion_blur(img, severity=arg, rng=rng)
+    elif name == "defocus blur":
+        out = D.add_defocus_blur(img, severity=arg, rng=rng)
+    elif name == "haze":
+        a, beta = arg
+        out = D.add_haze(img, A=a, beta=beta, rng=rng)
+    elif name == "rain":
+        out = D.add_rain(img, value=arg, rng=rng)
+    else:
+        out = img
+    labels[DEGRADATIONS.index(name)] = level
+    return out, labels
+
+
+def procedural_corpus(n: int = 48, size: int = 288,
+                      seed: int = 7) -> list[np.ndarray]:
+    """Self-contained HQ corpus: multi-octave value-noise textures,
+    gradients, and geometric shapes (uint8 RGB). Rich enough in edges,
+    flats, and color structure for the priors and CNN to separate the 8
+    degradation signatures."""
+    rng = np.random.default_rng(seed)
+    out = []
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    for _ in range(n):
+        img = np.zeros((size, size, 3), np.float32)
+        # multi-octave smooth noise
+        for octave in (4, 8, 16, 32):
+            coarse = rng.random((octave, octave, 3)).astype(np.float32)
+            idx = (np.linspace(0, octave - 1, size)).astype(np.int64)
+            img += coarse[idx][:, idx] / octave * 8
+        img /= img.max()
+        # gradient wash
+        a, b = rng.random(2)
+        img = 0.6 * img + 0.4 * (a * yy + (1 - a) * xx)[..., None] \
+            * rng.random(3)[None, None]
+        # shapes: rectangles + circles with random colors
+        for _ in range(int(rng.integers(4, 12))):
+            c = rng.random(3)
+            x0, y0 = rng.integers(0, size, 2)
+            if rng.random() < 0.5:
+                w_, h_ = rng.integers(10, size // 2, 2)
+                img[y0:y0 + h_, x0:x0 + w_] = \
+                    0.3 * img[y0:y0 + h_, x0:x0 + w_] + 0.7 * c
+            else:
+                r = int(rng.integers(6, size // 4))
+                mask = (yy * size - y0) ** 2 + (xx * size - x0) ** 2 < r * r
+                img[mask] = 0.3 * img[mask] + 0.7 * c
+        # thin lines (rain/blur discriminants need edges)
+        for _ in range(int(rng.integers(2, 8))):
+            x0 = int(rng.integers(0, size))
+            img[:, x0:x0 + 2] = rng.random(3)
+        out.append((np.clip(img, 0, 1) * 255).astype(np.uint8))
+    return out
+
+
+def multi_example_stream(hq_images, batch: int, seed: int = 0,
+                         size: int = 224, p_multi: float = 0.5):
+    rng = np.random.default_rng(seed)
+    while True:
+        xs, ys = [], []
+        for _ in range(batch):
+            img = hq_images[rng.integers(len(hq_images))]
+            if rng.random() < p_multi:
+                lq, labels = synthesize_multi(img, rng)
+            else:
+                lq, labels = synthesize_example(img, rng)
+            xs.append(prepare_input(lq.astype(np.float32) / 255.0, size))
+            ys.append(labels)
+        yield np.stack(xs), np.stack(ys)
+
+
+def train_classifier_v3(hq_images, steps: int = 2000, batch: int = 32,
+                        lr: float = 3e-4, seed: int = 0, size: int = 224,
+                        p_multi: float = 0.5, model=None,
+                        log_every: int = 0):
+    """v3 recipe: priors+CNN model, multi-degradation mixing, cosine LR."""
+    from ..iqa.classifier import DegradationClassifierV3
+
+    model = model or DegradationClassifierV3()
+    tx = optax.adam(optax.cosine_decay_schedule(lr, steps, 0.05))
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, size, size, 3)))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            logits = model.apply(p, x)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits.reshape(-1, len(SEVERITY_LEVELS)),
+                y.reshape(-1)).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    stream = multi_example_stream(hq_images, batch, seed, size, p_multi)
+    for i in range(steps):
+        x, y = next(stream)
+        params, opt_state, loss = step(params, opt_state, jnp.asarray(x),
+                                       jnp.asarray(y))
+        losses.append(float(loss))
+        if log_every and (i + 1) % log_every == 0:
+            print(f"step {i + 1}/{steps} loss {np.mean(losses[-50:]):.4f}",
+                  flush=True)
+    return params, losses

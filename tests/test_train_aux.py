@@ -92,3 +92,64 @@ class TestInsertPipeline:
             tmp_path / "run0" / "img_tree" / "0-img" / "input.png"), topk=1)
         assert hits[0]["res_seq"] == "denoising_nafnet"
         assert hits[0]["similarity"] > 0.99
+
+
+class TestClassifierV3:
+    def test_features_respond_to_degradations(self):
+        """Each analytic prior moves in the right direction for its
+        degradation (dark channel up under haze, blockiness up under
+        JPEG, Laplacian MAD up under noise, gradient energy down under
+        blur, luminance down under darkening)."""
+        import jax.numpy as jnp
+
+        from image_restoration_agent_tpu.data import degrade as D
+        from image_restoration_agent_tpu.iqa.classifier import (
+            degradation_features)
+
+        rng = np.random.default_rng(0)
+        from image_restoration_agent_tpu.train.classifier import (
+            procedural_corpus)
+        img = procedural_corpus(1, size=128, seed=3)[0]
+
+        def feats(arr):
+            x = jnp.asarray(arr.astype(np.float32) / 255.0)[None]
+            return np.asarray(degradation_features(x))[0]
+
+        base = feats(img)
+        # indices per degradation_features concatenation order
+        MEAN_L, LAP_MAD, GRAD_E = 0, 5, 7
+        BLOCKINESS, DARK_MEAN = 12, 17
+
+        noisy = feats(D.add_noise(img, "Gaussian", arg=40, rng=rng))
+        assert noisy[LAP_MAD] > base[LAP_MAD]
+
+        jpeg = feats(D.add_jpeg_artifacts(img, quality_factor=8, rng=rng))
+        assert jpeg[BLOCKINESS] > base[BLOCKINESS]
+
+        dark = feats(D.darken(img, "constant shift", arg=60, rng=rng))
+        assert dark[MEAN_L] < base[MEAN_L]
+
+        blur = feats(D.add_defocus_blur(img, severity=2, rng=rng))
+        assert blur[GRAD_E] < base[GRAD_E]
+
+        hazy = feats(D.add_haze(img, A=0.95, beta=1.6, rng=rng))
+        assert hazy[DARK_MEAN] > base[DARK_MEAN]
+
+    def test_v3_train_smoke(self):
+        """A short v3 run learns something (loss drops) and the multi
+        synthesizer labels every applied op."""
+        from image_restoration_agent_tpu.iqa.classifier import (
+            DegradationClassifierV3)
+        from image_restoration_agent_tpu.train.classifier import (
+            procedural_corpus, synthesize_multi, train_classifier_v3)
+
+        corpus = procedural_corpus(4, size=96, seed=0)
+        model = DegradationClassifierV3(width=8)
+        params, losses = train_classifier_v3(
+            corpus, steps=6, batch=4, size=64, model=model)
+        assert np.isfinite(losses).all()
+
+        rng = np.random.default_rng(0)
+        lq, labels = synthesize_multi(corpus[0], rng)
+        assert lq.shape == corpus[0].shape
+        assert 1 <= (labels > 0).sum() <= 3
