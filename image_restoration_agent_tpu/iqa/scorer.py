@@ -29,11 +29,13 @@ _DEFAULT_LPIPS_DIR = Path(__file__).resolve().parents[1] / "weights" / \
 
 class Scorer:
     def __init__(self, metrics: tuple[str, ...] = FR_METRICS,
-                 lpips_params=None, lpips_dir: Optional[Path] = None):
+                 lpips_params=None, lpips_dir: Optional[Path] = None,
+                 clipiqa=None):
         self.metrics = metrics
         self._lpips_params = lpips_params
         self._lpips_dir = Path(lpips_dir) if lpips_dir else _DEFAULT_LPIPS_DIR
         self._lpips_fn = None
+        self._clipiqa = clipiqa  # iqa.clipiqa.ClipIQA, needs CLIP weights
 
     def _lpips(self, img: np.ndarray, ref: np.ndarray) -> Optional[float]:
         if self._lpips_params is None:
@@ -80,6 +82,8 @@ class Scorer:
                 out[m] = float(ssim(jnp.asarray(img), jnp.asarray(ref)))
             elif m == "lpips":
                 out[m] = self._lpips(img, ref)
+            elif m == "clipiqa" and self._clipiqa is not None:
+                out[m] = float(self._clipiqa(img))
             else:
                 out[m] = None
         return out

@@ -344,3 +344,27 @@ def test_clip_retrieval_embedder_pipeline(tmp_path):
     out = emb.embed_array(img)
     assert out.shape == (EMBED,)
     np.testing.assert_allclose(np.linalg.norm(out), 1.0, atol=1e-5)
+
+
+def test_clipiqa_scores(tmp_path):
+    """ClipIQA on the mini CLIP: returns [0,1]; wiring through Scorer
+    yields a real clipiqa value."""
+    from image_restoration_agent_tpu.iqa.clipiqa import ClipIQA
+    from image_restoration_agent_tpu.iqa.scorer import Scorer
+
+    fm = _flax_model()
+    params = fm.init(jax.random.PRNGKey(0), jnp.zeros((1, RES, RES, 3)),
+                     jnp.zeros((1, CTX), jnp.int32))
+    # precomputed prompt features path (no tokenizer needed)
+    tf = np.random.default_rng(0).standard_normal((2, EMBED)) \
+        .astype(np.float32)
+    iqa = ClipIQA(params, clip_model=fm, text_features=tf, n_px=RES)
+    img = np.random.default_rng(1).random((70, 90, 3), dtype=np.float32)
+    s = iqa(img)
+    assert 0.0 <= s <= 1.0
+
+    sc = Scorer(metrics=("psnr", "clipiqa"), clipiqa=iqa)
+    out = sc.score_arrays(img, np.clip(img + 0.02, 0, 1))
+    assert isinstance(out["clipiqa"], float)
+    sc_none = Scorer(metrics=("clipiqa",))
+    assert sc_none.score_arrays(img, img)["clipiqa"] is None
