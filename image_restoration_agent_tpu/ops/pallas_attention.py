@@ -355,12 +355,9 @@ def _strip_kernel(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
             res[wi * n:(wi + 1) * n, :].reshape(ws, ws, c)
 
 
-def _strip_kernel_paired(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref,
-                         wv_ref, bq_ref, bk_ref, bv_ref, wproj_ref,
-                         bproj_ref, bias_ref, hmask_ref, *rest,
-                         num_heads, head_dim, nwin, ws, dc, chunk,
-                         g2=False, fuse_mlp=False, interpret=False,
-                         eps=1e-5):
+def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
+                         rrows=1, g2=False, fuse_mlp=False,
+                         interpret=False, eps=1e-5):
     """Paired-window strip kernel: 2 windows per MXU dot group.
 
     Measured ~1.4x faster than the per-window 'stacked' design on v5e: the
@@ -370,7 +367,14 @@ def _strip_kernel_paired(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref,
     window), and the softmax runs once per chunk over 128-lane-aligned head
     blocks. The attention scale is folded into wq at trace time; rpb and
     shift masks are fused into one per-pair bias constant
-    (bias_ref[0, is_last_pair], row-edge variant selected by index map).
+    (bias_ref[0, row, is_last_pair], row-edge variant via index map).
+
+    ``rrows`` (superstrips): process R window-rows per grid step. The
+    measured per-grid-step fixed cost is ~11us (the pure-I/O ablation runs
+    at 1.46 ms for 128 steps — 12x off DMA roofline), so fewer, fatter
+    steps amortize it. Input = 2R s-row group refs (modular index maps
+    keep the folded roll); bias gains a per-row dimension so the
+    row-edge mask variant lands on the image's true last window-row only.
 
     ``g2`` (paired2 mode): heads processed in groups of TWO via
     block-diagonal (2m, 2*hp) key/value stacks — contraction width drops
@@ -380,6 +384,11 @@ def _strip_kernel_paired(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref,
     q/k/v weights pre-reordered head-major and zero-padded to hp=32 per
     head (and wproj row-reordered to match) at trace time.
     """
+    xrefs = args[:2 * rrows]
+    (lnw_ref, lnb_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+     wproj_ref, bproj_ref, bias_ref, hmask_ref) = args[2 * rrows:
+                                                       2 * rrows + 12]
+    rest = args[2 * rrows + 12:]
     if fuse_mlp:
         (ln2w_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
          out_ref, xw_ref, q_ref, k_ref, v_ref, attn_ref,
@@ -390,25 +399,34 @@ def _strip_kernel_paired(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref,
     c = num_heads * head_dim
     n = ws * ws
     m = 2 * n
-    w = a_ref.shape[3]
-    npair = nwin // 2
+    w = xrefs[0].shape[3]
+    npair_row = nwin // 2
+    npair = rrows * npair_row
+    twin = rrows * nwin
     hp = q_ref.shape[1] // num_heads  # padded head width (g2: 32)
     ngr = num_heads // 2
 
-    rows = jnp.concatenate([a_ref[0, 0], b_ref[0, 0]], axis=0)
+    rows = jnp.concatenate([r[0, 0] for r in xrefs], axis=0)
     if dc < 0:
         rows = jnp.concatenate([rows[:, -dc:], rows[:, :-dc]], axis=1)
     elif dc > 0:
         rows = jnp.concatenate([rows[:, w - dc:], rows[:, :w - dc]], axis=1)
 
-    wnd_mode = os.environ.get("SWIN_WND", "loop")
-    if wnd_mode == "xpose":
-        xw_ref[:] = rows.reshape(ws, nwin, ws, c) \
-            .transpose(1, 0, 2, 3).reshape(nwin * n, c)
-    else:
-        for wi in range(nwin):
-            slab = rows[:, wi * ws:(wi + 1) * ws, :]
-            xw_ref[wi * n:(wi + 1) * n, :] = slab.reshape(n, c)
+    for wg in range(twin):
+        rr, wi = wg // nwin, wg % nwin
+        slab = rows[rr * ws:(rr + 1) * ws, wi * ws:(wi + 1) * ws, :]
+        xw_ref[wg * n:(wg + 1) * n, :] = slab.reshape(n, c)
+
+    ablate = os.environ.get("SWIN_ABLATE", "")
+    if ablate == "minimal":  # perf probe: I/O + windowize only
+        res = xw_ref[:].astype(jnp.float32) + 1.0
+        res = res.astype(out_ref.dtype)
+        for wg in range(twin):
+            rr, wi = wg // nwin, wg % nwin
+            out_ref[0, 0, rr * ws:(rr + 1) * ws,
+                    wi * ws:(wi + 1) * ws, :] = \
+                res[wg * n:(wg + 1) * n, :].reshape(ws, ws, c)
+        return
 
     xf = xw_ref[:].astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -453,7 +471,8 @@ def _strip_kernel_paired(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref,
                         vp[:, h1 * hp:(h1 + 1) * hp]
             for pi in range(cp_n):
                 g = p0 + pi
-                sel = 1 if g == npair - 1 else 0
+                rr = g // npair_row
+                sel = 1 if (g % npair_row) == npair_row - 1 else 0
                 for gr in range(ngr):
                     q2 = q_ref[g * m:(g + 1) * m,
                                2 * gr * hp:(2 * gr + 2) * hp]
@@ -464,7 +483,8 @@ def _strip_kernel_paired(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref,
                         jax.lax.dot_general(
                             q2, km2, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) \
-                        + bias_ref[0, sel, :, 2 * gr * m:(2 * gr + 2) * m]
+                        + bias_ref[0, rr, sel,
+                                   :, 2 * gr * m:(2 * gr + 2) * m]
         else:
             if interpret:
                 # interpret mode cannot discharge writes through reshaped
@@ -488,10 +508,12 @@ def _strip_kernel_paired(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref,
                 g = p0 + pi
                 q2 = q_ref[g * m:(g + 1) * m, :]
                 km2 = km_ref[pi * num_heads * m:(pi + 1) * num_heads * m, :]
-                bias = bias_ref[0, 1] if g == npair - 1 else bias_ref[0, 0]
+                rr = g // npair_row
+                sel = 1 if (g % npair_row) == npair_row - 1 else 0
                 lg_ref[pi * m:(pi + 1) * m, :] = jax.lax.dot_general(
                     q2, km2, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) + bias
+                    preferred_element_type=jnp.float32) \
+                    + bias_ref[0, rr, sel]
         for h in range(num_heads):
             blk = lg_ref[:cp_n * m, h * m:(h + 1) * m]
             mx = jnp.max(blk, axis=1, keepdims=True)
@@ -547,13 +569,10 @@ def _strip_kernel_paired(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref,
         res32 = res32 + o2
 
     res = res32.astype(out_ref.dtype)
-    if wnd_mode == "xpose":
-        out_ref[0, 0] = res.reshape(nwin, ws, ws, c) \
-            .transpose(1, 0, 2, 3).reshape(ws, w, c)
-    else:
-        for wi in range(nwin):
-            out_ref[0, 0, :, wi * ws:(wi + 1) * ws, :] = \
-                res[wi * n:(wi + 1) * n, :].reshape(ws, ws, c)
+    for wg in range(twin):
+        rr, wi = wg // nwin, wg % nwin
+        out_ref[0, 0, rr * ws:(rr + 1) * ws, wi * ws:(wi + 1) * ws, :] = \
+            res[wg * n:(wg + 1) * n, :].reshape(ws, ws, c)
 
 
 def _paired_bias(rpb, mask_bank, num_heads, n):
@@ -636,15 +655,33 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     if attn_mode in ("paired", "paired2"):
         g2 = attn_mode == "paired2"
         m = 2 * n
-        npair = nwin // 2
+        # superstrip height: R window-rows per grid step amortize the
+        # ~11us fixed per-step cost (see _strip_kernel_paired docstring).
+        # Default 1: R>1 multiplies Mosaic compile time through the
+        # unrolled pair loops (tracked; needs rolled fori_loop bodies)
+        pref_rs = int(os.environ.get("SWIN_RS", "1"))
+        rrows = next(rr for rr in (pref_rs, 4, 2, 1)
+                     if rr <= pref_rs and rows_per_img % rr == 0)
+        steps_per_img = rows_per_img // rrows
+        nsteps = b * steps_per_img
+        npair = rrows * (nwin // 2)
+        twin = rrows * nwin
         pref = int(os.environ.get("SWIN_CHUNK", "16"))
         chunk = next(cc for cc in (pref, 16, 8, 4, 2, 1)
                      if cc <= pref and npair % cc == 0)
-        bias = _paired_bias(rpb, mask_bank, num_heads, n)
+        bias2 = _paired_bias(rpb, mask_bank, num_heads, n)
+        # (step-type, row-in-step, col-variant, m, H*m): the row-edge mask
+        # applies only to the LAST row of the LAST step of each image
+        interior, row_edge = bias2[0], bias2[1]
+        bias = jnp.stack([
+            jnp.stack([interior] * rrows),
+            jnp.stack([interior] * (rrows - 1) + [row_edge]),
+        ])
         bias_spec = pl.BlockSpec(
-            (1, 2, m, num_heads * m),
-            (lambda i: ((((i % rows_per_img) + 1) // rows_per_img), 0, 0, 0))
-            if mask_bank is not None else (lambda i: (0, 0, 0, 0)),
+            (1, rrows, 2, m, num_heads * m),
+            (lambda i: ((((i % steps_per_img) + 1) // steps_per_img),
+                        0, 0, 0, 0))
+            if mask_bank is not None else (lambda i: (0, 0, 0, 0, 0)),
             memory_space=pltpu.VMEM)
 
         xg = x.reshape(b * groups, 1, s, w, c)
@@ -652,8 +689,9 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
 
         def idxp(off):
             def f(i):
-                img, r = i // rows_per_img, i % rows_per_img
-                return (img * groups + (2 * r + off) % groups, 0, 0, 0, 0)
+                img, r = i // steps_per_img, i % steps_per_img
+                return (img * groups + (2 * rrows * r + off) % groups,
+                        0, 0, 0, 0)
             return f
 
         def repp(shape):
@@ -695,7 +733,7 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
             wp_a = wproj
         kernel = functools.partial(
             _strip_kernel_paired, num_heads=num_heads, head_dim=hd,
-            nwin=nwin, ws=ws, dc=dc, chunk=chunk, g2=g2,
+            nwin=nwin, ws=ws, dc=dc, chunk=chunk, rrows=rrows, g2=g2,
             fuse_mlp=mlp is not None, interpret=interpret)
         mlp_specs, mlp_args = [], []
         if mlp is not None:
@@ -710,14 +748,13 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         kv_rows = (chunk * num_heads * m) if not g2 \
             else (chunk * (num_heads // 2) * 2 * m)
         kv_cols = c if not g2 else 2 * hp2
+        in_specs = [pl.BlockSpec((1, 1, s, w, c), idxp(d0 + j),
+                                 memory_space=pltpu.VMEM)
+                    for j in range(2 * rrows)]
         out = pl.pallas_call(
             kernel,
-            grid=(strips,),
-            in_specs=[
-                pl.BlockSpec((1, 1, s, w, c), idxp(d0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, s, w, c), idxp(d0 + 1),
-                             memory_space=pltpu.VMEM),
+            grid=(nsteps,),
+            in_specs=in_specs + [
                 repp((c,)), repp((c,)),
                 repp((c, cp2)), repp((c, cp2)), repp((c, cp2)),
                 repp((cp2,)), repp((cp2,)), repp((cp2,)),
@@ -725,16 +762,17 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                 bias_spec,
                 repp((num_heads, c)),
             ] + mlp_specs,
-            out_specs=pl.BlockSpec((1, 1, ws, w, c),
+            out_specs=pl.BlockSpec((1, 1, rrows * ws, w, c),
                                    lambda i: (i, 0, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((strips, 1, ws, w, c), x.dtype),
+            out_shape=jax.ShapeDtypeStruct(
+                (nsteps, 1, rrows * ws, w, c), x.dtype),
             scratch_shapes=[
-                pltpu.VMEM((nwin * n, c), x.dtype),     # xw
-                pltpu.VMEM((nwin * n, cp2), x.dtype),   # q
-                pltpu.VMEM((nwin * n, cp2), x.dtype),   # k
-                pltpu.VMEM((nwin * n, cp2), x.dtype),   # v
-                pltpu.VMEM((nwin * n, cp2), x.dtype),   # attn
+                pltpu.VMEM((twin * n, c), x.dtype),     # xw
+                pltpu.VMEM((twin * n, cp2), x.dtype),   # q
+                pltpu.VMEM((twin * n, cp2), x.dtype),   # k
+                pltpu.VMEM((twin * n, cp2), x.dtype),   # v
+                pltpu.VMEM((twin * n, cp2), x.dtype),   # attn
                 pltpu.VMEM((kv_rows, kv_cols), x.dtype),  # km
                 pltpu.VMEM((kv_rows, kv_cols), x.dtype),  # vm
                 pltpu.VMEM((chunk * m, num_heads * m), jnp.float32),  # lg
@@ -743,7 +781,8 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(xg, xg, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
+        )(*([xg] * (2 * rrows)),
+          ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
           wq_a.astype(x.dtype), wk_a.astype(x.dtype), wv_a.astype(x.dtype),
           bq_a.astype(jnp.float32), bk_a.astype(jnp.float32),
           bv_a.astype(jnp.float32),
