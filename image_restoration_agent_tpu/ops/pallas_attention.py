@@ -442,10 +442,90 @@ def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
             preferred_element_type=jnp.float32)
             + b_ref2[:][None, :]).astype(dst.dtype)
 
-    if not g2 and not interpret:
+    if g2 == "rolled":
+        # fori_loop over pairs: compile time independent of npair (the
+        # unrolled loops below multiply Mosaic compile time with strip
+        # width — 185s vs 5s measured at W=256; prohibitive at
+        # whole-image W). Two rolled phases around ONE batched softmax
+        # (per-pair softmax costs ~20% runtime in VPU batching), chunked
+        # so the lg/p scratches stay at `chunk` pairs.
+        zblk = jnp.zeros((m, hp), km_ref.dtype)
+        nchunk = -(-npair // chunk)
+
+        def chunk_body(ci, carry):
+            p0 = ci * chunk
+
+            def qk_body(pi, carry2):
+                g = p0 + pi
+                col_last = (g % npair_row) == npair_row - 1
+                kp = k_ref[pl.ds(g * m, m), :]
+                vp = v_ref[pl.ds(g * m, m), :]
+                for gr in range(ngr):
+                    base = gr * 2 * m
+                    h0, h1 = 2 * gr, 2 * gr + 1
+                    km_ref[pl.ds(pi * ngr * 2 * m + base, m), :hp] = \
+                        kp[:, h0 * hp:(h0 + 1) * hp]
+                    km_ref[pl.ds(pi * ngr * 2 * m + base, m), hp:] = zblk
+                    km_ref[pl.ds(pi * ngr * 2 * m + base + m, m), :hp] = \
+                        zblk
+                    km_ref[pl.ds(pi * ngr * 2 * m + base + m, m), hp:] = \
+                        kp[:, h1 * hp:(h1 + 1) * hp]
+                    vm_ref[pl.ds(pi * ngr * 2 * m + base, m), :hp] = \
+                        vp[:, h0 * hp:(h0 + 1) * hp]
+                    vm_ref[pl.ds(pi * ngr * 2 * m + base, m), hp:] = zblk
+                    vm_ref[pl.ds(pi * ngr * 2 * m + base + m, m), :hp] = \
+                        zblk
+                    vm_ref[pl.ds(pi * ngr * 2 * m + base + m, m), hp:] = \
+                        vp[:, h1 * hp:(h1 + 1) * hp]
+                qp = q_ref[pl.ds(g * m, m), :]
+                for gr in range(ngr):
+                    q2 = qp[:, 2 * gr * hp:(2 * gr + 2) * hp]
+                    km2 = km_ref[pl.ds(pi * ngr * 2 * m + gr * 2 * m,
+                                       2 * m), :]
+                    lg = jax.lax.dot_general(
+                        q2, km2, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    b0 = bias_ref[0, 0, 0, :, 2 * gr * m:(2 * gr + 2) * m]
+                    b1 = bias_ref[0, 0, 1, :, 2 * gr * m:(2 * gr + 2) * m]
+                    lg_ref[pl.ds(pi * m, m),
+                           2 * gr * m:(2 * gr + 2) * m] = \
+                        lg + jnp.where(col_last, b1, b0)
+                return carry2
+
+            jax.lax.fori_loop(0, chunk, qk_body, 0)
+            for hh in range(num_heads):
+                blk = lg_ref[:, hh * m:(hh + 1) * m]
+                mx = jnp.max(blk, axis=1, keepdims=True)
+                e = jnp.exp(blk - mx)
+                p_ref[:, hh * m:(hh + 1) * m] = \
+                    (e / jnp.sum(e, axis=1, keepdims=True)) \
+                    .astype(p_ref.dtype)
+
+            def av_body(pi, carry2):
+                g = p0 + pi
+                for gr in range(ngr):
+                    vm2 = vm_ref[pl.ds(pi * ngr * 2 * m + gr * 2 * m,
+                                       2 * m), :]
+                    ov = jax.lax.dot_general(
+                        p_ref[pl.ds(pi * m, m),
+                              2 * gr * m:(2 * gr + 2) * m], vm2,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    attn_ref[pl.ds(g * m, m),
+                             2 * gr * hp:(2 * gr + 2) * hp] = \
+                        ov.astype(attn_ref.dtype)
+                return carry2
+
+            jax.lax.fori_loop(0, chunk, av_body, 0)
+            return carry
+
+        jax.lax.fori_loop(0, nchunk, chunk_body, 0)
+        g2 = None  # skip the staged paths below
+
+    if g2 is False and not interpret:
         kmv = km_ref.reshape(chunk, num_heads, m, c)
         vmv = vm_ref.reshape(chunk, num_heads, m, c)
-    for p0 in range(0, npair, chunk):
+    for p0 in ([] if g2 is None else range(0, npair, chunk)):
         cp_n = min(chunk, npair - p0)
         if g2:
             # block-diagonal 2-head stacks: rows [0:m) hold head 2g in
@@ -640,9 +720,9 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     strips = b * rows_per_img
     groups = 2 * rows_per_img
 
-    if attn_mode == "paired2" and num_heads % 2 != 0:
+    if attn_mode in ("paired2", "paired2r") and num_heads % 2 != 0:
         attn_mode = "paired"  # 2-head grouping needs even heads
-    if attn_mode in ("paired", "paired2") and \
+    if attn_mode in ("paired", "paired2", "paired2r") and \
             (nwin % 2 != 0 or mask is not None):
         attn_mode = "stacked"  # pairing needs even windows; full-mask mode
         # (arbitrary per-window masks) stays on the stacked path
@@ -652,8 +732,9 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         head_mask[hh, hh * hd:(hh + 1) * hd] = 1.0
     hmask = jnp.asarray(head_mask, dtype=x.dtype)
 
-    if attn_mode in ("paired", "paired2"):
-        g2 = attn_mode == "paired2"
+    if attn_mode in ("paired", "paired2", "paired2r"):
+        g2 = {"paired": False, "paired2": True,
+              "paired2r": "rolled"}[attn_mode]
         m = 2 * n
         # superstrip height: R window-rows per grid step amortize the
         # ~11us fixed per-step cost (see _strip_kernel_paired docstring).
@@ -662,6 +743,8 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         pref_rs = int(os.environ.get("SWIN_RS", "1"))
         rrows = next(rr for rr in (pref_rs, 4, 2, 1)
                      if rr <= pref_rs and rows_per_img % rr == 0)
+        if g2 == "rolled":
+            rrows = 1  # rolled body assumes the single-row bias layout
         steps_per_img = rows_per_img // rrows
         nsteps = b * steps_per_img
         npair = rrows * (nwin // 2)
@@ -669,6 +752,8 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         pref = int(os.environ.get("SWIN_CHUNK", "16"))
         chunk = next(cc for cc in (pref, 16, 8, 4, 2, 1)
                      if cc <= pref and npair % cc == 0)
+        # (rolled mode shares the chunk-divisor rule: its fori bodies
+        # assume npair % chunk == 0)
         bias2 = _paired_bias(rpb, mask_bank, num_heads, n)
         # (step-type, row-in-step, col-variant, m, H*m): the row-edge mask
         # applies only to the LAST row of the LAST step of each image

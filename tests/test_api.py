@@ -55,6 +55,7 @@ class TestAPI:
         assert code == 200
         assert json.loads(body)["status"] == "ok"
 
+    @pytest.mark.slow
     def test_process_json_and_download(self, server, input_png):
         _, base = server
         code, body = _post_json(f"{base}/process",

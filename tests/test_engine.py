@@ -51,6 +51,7 @@ class TestEngine:
     def engine(self):
         return Engine(shape_bucket=32, default_batch=2)
 
+    @pytest.mark.slow
     def test_restore_denoise_shape(self, engine, rng):
         img = rng.random((40, 56, 3), dtype=np.float32)
         res = engine.restore_array(img, "nafnet_small")
@@ -89,6 +90,7 @@ class TestEngine:
 
 
 class TestEnsembleAndMaxSize:
+    @pytest.mark.slow
     def test_geometric_ensemble_matches_plain_for_equivariant_model(self):
         """nafnet with zeroed blocks is ~identity, which is D4-equivariant:
         ensemble output must equal the plain output."""

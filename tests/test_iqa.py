@@ -76,6 +76,7 @@ class TestSeverityEvaluator:
         assert {d for d, _ in evaluation} == set(EVALUATED_DEGRADATIONS)
         assert all(s in SEVERITY_LEVELS for _, s in evaluation)
 
+    @pytest.mark.slow
     def test_severity_of_single(self, rng):
         ev = SeverityEvaluator()
         img = rng.random((50, 70, 3), dtype=np.float32)

@@ -22,6 +22,7 @@ def _init_and_run(name, h=32, w=32, seed=0):
 
 class TestNAFNet:
     @pytest.mark.slow
+    @pytest.mark.slow
     def test_shape_preserved(self):
         spec, x, out, *_ = _init_and_run("nafnet_small")
         assert out.shape == x.shape
@@ -53,6 +54,7 @@ class TestNAFNet:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 class TestRestormer:
     def test_shape_preserved(self):
         spec, x, out, *_ = _init_and_run("restormer_tiny")

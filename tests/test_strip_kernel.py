@@ -301,3 +301,38 @@ class TestPaired2Mode:
                               rpb1, None, num_heads=1, ws=WS,
                               attn_mode="paired2", interpret=True)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+class TestPaired2Rolled:
+    def test_paired2r_matches_stacked(self, rng):
+        """attn_mode='paired2r' (fori_loop pair body, npair-independent
+        compile) == stacked for unshifted, shifted+bank, folded roll."""
+        x, ps = _strip_args(rng, 4 * WS, 4 * WS)
+        for dc, bank in ((0, None), (0, _bank()), (-S, _bank()), (S, None)):
+            a = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                  mask_bank=bank, dc=dc,
+                                  attn_mode="stacked", interpret=True)
+            b = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                  mask_bank=bank, dc=dc,
+                                  attn_mode="paired2r", interpret=True)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
+
+    def test_paired2r_fused_mlp(self, rng):
+        from image_restoration_agent_tpu.ops.pallas_attention import (
+            mlp_block_pallas)
+
+        x, ps = _strip_args(rng, 2 * WS, 4 * WS)
+        mlp = TestFusedMlp._mlp_params(TestFusedMlp(), rng)
+        attn_only = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                      mask_bank=_bank(), dc=-S,
+                                      attn_mode="paired2r", interpret=True)
+        tok = mlp_block_pallas(attn_only.reshape(-1, C), *mlp,
+                               interpret=True)
+        want = tok.reshape(attn_only.shape)
+        got = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                mask_bank=_bank(), dc=-S,
+                                attn_mode="paired2r", mlp=mlp,
+                                interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5)
