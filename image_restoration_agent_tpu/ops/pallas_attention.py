@@ -691,7 +691,7 @@ def _paired_bias(rpb, mask_bank, num_heads, n):
 def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                       rpb, mask=None, num_heads: int = 6, ws: int = 8,
                       dc: int = 0, mask_bank=None,
-                      attn_mode: str = "paired",
+                      attn_mode: str = "paired2",
                       mlp=None,
                       interpret: bool = False):
     """Fused Swin attention half-block over (B, H, W, C) directly, with an
@@ -752,8 +752,11 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         pref = int(os.environ.get("SWIN_CHUNK", "16"))
         chunk = next(cc for cc in (pref, 16, 8, 4, 2, 1)
                      if cc <= pref and npair % cc == 0)
-        # (rolled mode shares the chunk-divisor rule: its fori bodies
-        # assume npair % chunk == 0)
+        if g2 == "rolled":
+            # one pair per chunk measured FASTER than chunked softmax
+            # (5.24 vs 5.65 ms at W=256): the traced-offset km/vm stores
+            # cost more than the softmax batching saves
+            chunk = 1
         bias2 = _paired_bias(rpb, mask_bank, num_heads, n)
         # (step-type, row-in-step, col-variant, m, H*m): the row-edge mask
         # applies only to the LAST row of the LAST step of each image
