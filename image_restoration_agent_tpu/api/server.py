@@ -90,6 +90,16 @@ class AgentAPIServer:
     def save_upload(self, filename: str, data: bytes) -> Path:
         safe = re.sub(r"[^\w.\-]", "_", filename) or "upload.png"
         dst = self.work_root / "uploads" / f"{uuid.uuid4().hex[:8]}_{safe}"
+        # validate by decoding on the native-codec pool (GIL-free, so
+        # concurrent uploads on the threading server overlap); corrupt
+        # uploads are rejected at the door instead of failing mid-agent
+        from ..core.decode_pool import default_pool
+        try:
+            arr = default_pool().decode(data)
+            if arr.ndim != 3 or arr.shape[-1] not in (1, 3, 4):
+                raise ValueError(f"unsupported image shape {arr.shape}")
+        except Exception as e:
+            raise ValueError(f"upload is not a decodable image: {e}")
         dst.write_bytes(data)
         return dst
 

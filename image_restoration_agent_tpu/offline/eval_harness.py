@@ -22,12 +22,17 @@ def compute_scores(result_dir: Path, gt_dir: Path,
     """Score every result image against its same-named ground truth."""
     scorer = Scorer(tuple(metrics))
     result_dir, gt_dir = Path(result_dir), Path(gt_dir)
+    pairs = [(res, gt_dir / res.name)
+             for res in sorted(result_dir.glob("*.png"))
+             if (gt_dir / res.name).exists()]
+    # decode through the native-codec thread pool (GIL-free inflate)
+    from ..core.decode_pool import default_pool
+    pool = default_pool()
+    res_arrs = pool.load_many([p[0] for p in pairs], as_float=True)
+    gt_arrs = pool.load_many([p[1] for p in pairs], as_float=True)
     scores = {}
-    for res in sorted(result_dir.glob("*.png")):
-        gt = gt_dir / res.name
-        if not gt.exists():
-            continue
-        scores[res.name] = scorer(res, gt)
+    for (res, _), ra, ga in zip(pairs, res_arrs, gt_arrs):
+        scores[res.name] = scorer.score_arrays(ra, ga)
     summary = {
         m: round(float(np.mean([s[m] for s in scores.values()
                                 if s[m] is not None])), 4)

@@ -92,3 +92,42 @@ class TestInterlacedRejection:
         crc = zlib.crc32(bytes(data[12:29])) & 0xFFFFFFFF
         data[29:33] = struct.pack(">I", crc)
         assert nat.decode_png(bytes(data)) is None
+
+
+class TestDecodePool:
+    def test_decode_many_matches_single(self, tmp_path):
+        import numpy as np
+
+        from image_restoration_agent_tpu.core.decode_pool import DecodePool
+        from image_restoration_agent_tpu.core.io import (encode_png,
+                                                         load_image,
+                                                         save_image)
+
+        rng = np.random.default_rng(0)
+        blobs, paths, refs = [], [], []
+        for i in range(6):
+            img = rng.random((20 + i, 30, 3), dtype=np.float32)
+            p = tmp_path / f"im{i}.png"
+            save_image(img, p)
+            paths.append(p)
+            blobs.append(p.read_bytes())
+            refs.append(load_image(p))
+
+        pool = DecodePool(workers=3)
+        outs = pool.decode_many(blobs)
+        for o, r in zip(outs, refs):
+            np.testing.assert_array_equal(o, r)
+        outs2 = pool.load_many(paths)
+        for o, r in zip(outs2, refs):
+            np.testing.assert_array_equal(o, r)
+
+    def test_upload_validation_rejects_garbage(self, tmp_path):
+        import pytest as _pytest
+
+        from image_restoration_agent_tpu.api.server import AgentAPIServer
+
+        app = AgentAPIServer.__new__(AgentAPIServer)
+        app.work_root = tmp_path
+        (tmp_path / "uploads").mkdir()
+        with _pytest.raises(ValueError):
+            app.save_upload("x.png", b"not an image at all")
