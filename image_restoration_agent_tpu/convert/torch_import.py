@@ -217,8 +217,13 @@ def nafnet_rules() -> list[Rule]:
     return rules
 
 
-def swinir_rules() -> list[Rule]:
-    """Reference SwinIR names (network_swinir.py) -> models/swinir.py."""
+def swinir_rules(upsampler: str = "pixelshuffle") -> list[Rule]:
+    """Reference SwinIR names (network_swinir.py) -> models/swinir.py.
+
+    ``upsampler`` selects the head mapping for the ambiguous
+    ``upsample.0`` key: the classical Upsample Sequential's first conv
+    ("pixelshuffle") vs the lightweight one-step conv
+    ("pixelshuffledirect")."""
     L = r"layers\.(\d+)\.residual_group\.blocks\.(\d+)"
     D = r"layer\1/block\2"
     rules: list[Rule] = [
@@ -266,11 +271,31 @@ def swinir_rules() -> list[Rule]:
             out.append((pat, "", _drop))
         else:
             out.append((pat, tpl, tr))
+    if upsampler == "pixelshuffledirect":
+        out += [(r"upsample\.0\.weight",
+                 r"upsample_direct/Conv_0/kernel", t_conv),
+                (r"upsample\.0\.bias",
+                 r"upsample_direct/Conv_0/bias", t_id)]
     for i in range(4):
         out.append((rf"upsample\.{2 * i}\.weight",
                     rf"upsample{i}/Conv_0/kernel", t_conv))
         out.append((rf"upsample\.{2 * i}\.bias",
                     rf"upsample{i}/Conv_0/bias", t_id))
+    # Real-SR / GAN heads (003_realSR_BSRGAN_* checkpoints): nearest+conv
+    # stages + conv_hr; torch names conv_up{1..3} are our 0-based stages.
+    # pixelshuffledirect (lightweight SR) maps upsample.0 -> the one-step
+    # conv; unshuffled conv_first (DiffBIR-style) is Sequential index 1.
+    for i in (1, 2, 3):
+        out.append((rf"conv_up{i}\.weight",
+                    rf"conv_up{i - 1}/Conv_0/kernel", t_conv))
+        out.append((rf"conv_up{i}\.bias",
+                    rf"conv_up{i - 1}/Conv_0/bias", t_id))
+    out += [
+        (r"conv_hr\.weight", r"conv_hr/Conv_0/kernel", t_conv),
+        (r"conv_hr\.bias", r"conv_hr/Conv_0/bias", t_id),
+        (r"conv_first\.1\.weight", r"conv_first/Conv_0/kernel", t_conv),
+        (r"conv_first\.1\.bias", r"conv_first/Conv_0/bias", t_id),
+    ]
     return out
 
 

@@ -275,3 +275,67 @@ def train_classifier_v3(hq_images, steps: int = 2000, batch: int = 32,
             print(f"step {i + 1}/{steps} loss {np.mean(losses[-50:]):.4f}",
                   flush=True)
     return params, losses
+
+
+def build_dataset(hq_images, n_examples: int, seed: int = 0,
+                  size: int = 224, p_multi: float = 0.5):
+    """Pre-synthesize a fixed dataset (the per-batch synthesis costs
+    ~50 ms/image on one host core — pregeneration keeps the TPU fed)."""
+    rng = np.random.default_rng(seed)
+    xs = np.empty((n_examples, size, size, 3), np.float32)
+    ys = np.empty((n_examples, len(DEGRADATIONS)), np.int64)
+    for i in range(n_examples):
+        img = hq_images[rng.integers(len(hq_images))]
+        if rng.random() < p_multi:
+            lq, labels = synthesize_multi(img, rng)
+        else:
+            lq, labels = synthesize_example(img, rng)
+        xs[i] = prepare_input(lq.astype(np.float32) / 255.0, size)
+        ys[i] = labels
+    return xs, ys
+
+
+def train_classifier_v3_dataset(xs, ys, steps: int = 2000, batch: int = 32,
+                                lr: float = 3e-4, seed: int = 0,
+                                model=None, log_every: int = 0):
+    """v3 recipe over a pregenerated dataset (shuffled epochs)."""
+    from ..iqa.classifier import DegradationClassifierV3
+
+    model = model or DegradationClassifierV3()
+    tx = optax.adam(optax.cosine_decay_schedule(lr, steps, 0.05))
+    size = xs.shape[1]
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, size, size, 3)))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            logits = model.apply(p, x)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits.reshape(-1, len(SEVERITY_LEVELS)),
+                y.reshape(-1)).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(seed)
+    n = xs.shape[0]
+    order = rng.permutation(n)
+    pos = 0
+    losses = []
+    for i in range(steps):
+        if pos + batch > n:
+            order = rng.permutation(n)
+            pos = 0
+        idx = order[pos:pos + batch]
+        pos += batch
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(xs[idx]),
+                                       jnp.asarray(ys[idx]))
+        losses.append(float(loss))
+        if log_every and (i + 1) % log_every == 0:
+            print(f"step {i + 1}/{steps} loss {np.mean(losses[-50:]):.4f}",
+                  flush=True)
+    return params, losses

@@ -32,8 +32,8 @@ def main():
     from image_restoration_agent_tpu.iqa.classifier import (
         DegradationClassifierV3)
     from image_restoration_agent_tpu.train.classifier import (
-        evaluate_classifier, procedural_corpus, synthesize_multi,
-        train_classifier_v3)
+        build_dataset, evaluate_classifier, procedural_corpus,
+        synthesize_multi, train_classifier_v3_dataset)
 
     print(f"device: {jax.devices()[0]}", flush=True)
     t0 = time.time()
@@ -42,8 +42,11 @@ def main():
           flush=True)
 
     model = DegradationClassifierV3()
-    params, losses = train_classifier_v3(
-        corpus, steps=args.steps, batch=args.batch, size=args.size,
+    n_examples = min(args.steps * args.batch // 4, 6000)
+    xs, ys = build_dataset(corpus, n_examples, size=args.size)
+    print(f"dataset {xs.shape} in {time.time() - t0:.1f}s", flush=True)
+    params, losses = train_classifier_v3_dataset(
+        xs, ys, steps=args.steps, batch=args.batch,
         model=model, log_every=100)
     print(f"final loss {np.mean(losses[-50:]):.4f} "
           f"({time.time() - t0:.0f}s)", flush=True)

@@ -225,3 +225,43 @@ class TestSwinIRFullParity:
             sw.wmsa_pallas = orig
         np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1),
                                    atol=5e-5)
+
+
+class TestRealSRHeads:
+    def test_nearest_conv_head_rules_cover_template(self):
+        """swinir_rules maps the Real-SR (nearest+conv) and lightweight
+        (pixelshuffledirect) heads onto the model templates."""
+        import re as _re
+
+        import jax
+        import jax.numpy as jnp
+
+        from image_restoration_agent_tpu.convert.torch_import import (
+            swinir_rules)
+        from image_restoration_agent_tpu.models.swinir import SwinIR
+
+        # nearest+conv x4 (Real-SR / GAN checkpoints)
+        m = SwinIR(embed_dim=16, depths=(1,), num_heads=(2,), window_size=4,
+                   upscale=4, upsampler="nearest+conv", num_feat=16)
+        tpl = jax.eval_shape(
+            lambda: m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3))))
+        flat = {"/".join(str(k.key) for k in p): None
+                for p, _ in jax.tree_util.tree_flatten_with_path(tpl)[0]}
+        rules = swinir_rules()
+        dsts = set()
+        for pat, tpl_path, _tr in rules:
+            if tpl_path:
+                dsts.add(tpl_path.split("/")[0].replace("\\1", "0"))
+        for head in ("conv_up0", "conv_up1", "conv_hr",
+                     "conv_before_upsample", "conv_last"):
+            assert any(head in p for p in flat), (head, sorted(flat)[:5])
+            assert any(head in d for d in dsts), head
+
+        # lightweight: upsample.0 must route to upsample_direct
+        rules_lw = swinir_rules(upsampler="pixelshuffledirect")
+        first = next(tpl_path for pat, tpl_path, _ in rules_lw
+                     if _re.fullmatch(pat, "upsample.0.weight"))
+        assert "upsample_direct" in first
+        first_cl = next(tpl_path for pat, tpl_path, _ in swinir_rules()
+                        if _re.fullmatch(pat, "upsample.0.weight"))
+        assert "upsample0" in first_cl
