@@ -278,9 +278,16 @@ def train_classifier_v3(hq_images, steps: int = 2000, batch: int = 32,
 
 
 def build_dataset(hq_images, n_examples: int, seed: int = 0,
-                  size: int = 224, p_multi: float = 0.5):
+                  size: int = 224, p_multi: float = 0.5,
+                  fast_resize: bool = True):
     """Pre-synthesize a fixed dataset (the per-batch synthesis costs
-    ~50 ms/image on one host core — pregeneration keeps the TPU fed)."""
+    ~50 ms/image on one host core — pregeneration keeps the TPU fed).
+    ``fast_resize`` uses PIL bicubic on the host instead of the jax
+    matlab-resize (which pays device-tunnel latency per item); the mild
+    resampling mismatch vs serving is training noise, eval still goes
+    through prepare_input."""
+    from PIL import Image
+
     rng = np.random.default_rng(seed)
     xs = np.empty((n_examples, size, size, 3), np.float32)
     ys = np.empty((n_examples, len(DEGRADATIONS)), np.int64)
@@ -290,7 +297,13 @@ def build_dataset(hq_images, n_examples: int, seed: int = 0,
             lq, labels = synthesize_multi(img, rng)
         else:
             lq, labels = synthesize_example(img, rng)
-        xs[i] = prepare_input(lq.astype(np.float32) / 255.0, size)
+        if fast_resize:
+            arr = np.asarray(Image.fromarray(
+                np.clip(lq, 0, 255).astype(np.uint8))
+                .resize((size, size), Image.BICUBIC), np.float32) / 255.0
+            xs[i] = arr
+        else:
+            xs[i] = prepare_input(lq.astype(np.float32) / 255.0, size)
         ys[i] = labels
     return xs, ys
 

@@ -22,6 +22,9 @@ def main():
     p.add_argument("--corpus", type=int, default=64)
     p.add_argument("--size", type=int, default=224)
     p.add_argument("--eval-n", type=int, default=200)
+    p.add_argument("--n-examples", type=int, default=12000)
+    p.add_argument("--p-multi", type=float, default=0.35)
+    p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -42,12 +45,19 @@ def main():
           flush=True)
 
     model = DegradationClassifierV3()
-    n_examples = min(args.steps * args.batch // 4, 6000)
-    xs, ys = build_dataset(corpus, n_examples, size=args.size)
+    import os
+    cache = f"/tmp/clf_ds_{args.n_examples}_{args.size}.npz"
+    if os.path.exists(cache):
+        d = np.load(cache)
+        xs, ys = d["xs"], d["ys"]
+    else:
+        xs, ys = build_dataset(corpus, args.n_examples, size=args.size,
+                               p_multi=args.p_multi)
+        np.savez(cache, xs=xs, ys=ys)
     print(f"dataset {xs.shape} in {time.time() - t0:.1f}s", flush=True)
     params, losses = train_classifier_v3_dataset(
-        xs, ys, steps=args.steps, batch=args.batch,
-        model=model, log_every=100)
+        xs, ys, steps=args.steps, batch=args.batch, lr=args.lr,
+        model=model, log_every=200)
     print(f"final loss {np.mean(losses[-50:]):.4f} "
           f"({time.time() - t0:.0f}s)", flush=True)
 
