@@ -102,11 +102,19 @@ class SeverityEvaluator:
 
     @classmethod
     def default(cls):
-        """Best shipped checkpoint (weights/degradation_classifier_v2 at
-        224px, then the 160px v1), else random init."""
+        """Best shipped checkpoint (v3: priors+CNN, 78.5%/58.5% single
+        dominant/severity vs v2's 74%/48%; then v2, then the 160px v1),
+        else random init."""
         from pathlib import Path
 
         weights = Path(__file__).resolve().parents[1] / "weights"
+        v3 = weights / "degradation_classifier_v3"
+        if v3.exists():
+            try:
+                return cls.from_checkpoint(
+                    v3, input_size=224, model=DegradationClassifierV3())
+            except Exception:
+                pass
         for name, size in (("degradation_classifier_v2", 224),
                            ("degradation_classifier", 160)):
             ckpt = weights / name

@@ -333,20 +333,41 @@ def train_classifier_v3_dataset(xs, ys, steps: int = 2000, batch: int = 32,
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    # feed batches as uint8 (4x smaller than f32 over a remote-device
+    # link) with one-step prefetch: jax dispatch is async, so the next
+    # batch's transfer overlaps the current step's compute
+    xs8 = np.clip(xs * 255.0, 0, 255).astype(np.uint8)
+
     rng = np.random.default_rng(seed)
     n = xs.shape[0]
     order = rng.permutation(n)
     pos = 0
-    losses = []
-    for i in range(steps):
+
+    def next_idx():
+        nonlocal order, pos
         if pos + batch > n:
             order = rng.permutation(n)
             pos = 0
         idx = order[pos:pos + batch]
         pos += batch
-        params, opt_state, loss = step(params, opt_state,
-                                       jnp.asarray(xs[idx]),
-                                       jnp.asarray(ys[idx]))
+        return idx
+
+    def put(idx):
+        return (jax.device_put(xs8[idx]),
+                jax.device_put(ys[idx].astype(np.int32)))
+
+    @jax.jit
+    def step8(params, opt_state, x8, y):
+        x = x8.astype(jnp.float32) / 255.0
+        return step(params, opt_state, x, y)
+
+    losses = []
+    pending = put(next_idx())
+    for i in range(steps):
+        cur = pending
+        if i + 1 < steps:
+            pending = put(next_idx())
+        params, opt_state, loss = step8(params, opt_state, *cur)
         losses.append(float(loss))
         if log_every and (i + 1) % log_every == 0:
             print(f"step {i + 1}/{steps} loss {np.mean(losses[-50:]):.4f}",
