@@ -144,10 +144,11 @@ def main(argv=None):
                              Path(args.output) if args.output else None)
         print(json.dumps({"mean": out["mean"], "n": out["n"]}))
     elif args.cmd == "insert-runs":
-        from .retrieval import NumpyVectorStore, RetrievalEmbedder
+        from .retrieval import NumpyVectorStore
+        from .retrieval.embedder import default_embedder
         from .train.retrieval import insert_solved_runs
 
-        emb = RetrievalEmbedder()
+        emb = default_embedder()
         store_path = Path(args.store)
         store = (NumpyVectorStore.load(store_path, embedder=emb)
                  if store_path.exists()

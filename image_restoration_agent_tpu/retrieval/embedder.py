@@ -137,3 +137,21 @@ class CLIPRetrievalEmbedder:
 
     def embed_path(self, img_path: str | Path) -> np.ndarray:
         return self.embed_array(to_float(load_image(img_path)))
+
+
+def default_embedder(weight_root: Optional[Path] = None):
+    """Reference-exact CLIP embedder when its converted assets exist
+    (weights/clip_rn50x4 + weights/combiner orbax dirs and the CLIP BPE
+    merges file), else the trained stand-in. Keeps CLI/agent callers
+    checkpoint-agnostic."""
+    root = Path(weight_root) if weight_root else \
+        Path(__file__).resolve().parents[1] / "weights"
+    clip_dir = root / "clip_rn50x4"
+    comb_dir = root / "combiner"
+    bpe = root / "bpe_simple_vocab_16e6.txt.gz"
+    if clip_dir.exists() and comb_dir.exists() and bpe.exists():
+        try:
+            return CLIPRetrievalEmbedder.from_dirs(clip_dir, comb_dir, bpe)
+        except Exception:
+            pass
+    return RetrievalEmbedder()
