@@ -102,9 +102,10 @@ class SeverityEvaluator:
 
     @classmethod
     def default(cls):
-        """Best shipped checkpoint (v3: priors+CNN, 78.5%/58.5% single
-        dominant/severity vs v2's 74%/48%; then v2, then the 160px v1),
-        else random init."""
+        """Best shipped checkpoint (v3: priors+CNN trained on a 256-image
+        procedural corpus with multi-degradation mixing — 91%/71% single
+        dominant/exact-severity, 76.5% multi dominant, vs v2's 74%/48%;
+        then v2, then the 160px v1), else random init."""
         from pathlib import Path
 
         weights = Path(__file__).resolve().parents[1] / "weights"
