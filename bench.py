@@ -202,8 +202,10 @@ def bench_agent_p50(args):
     rng = np.random.default_rng(0)
     times = []
     ex = build_default_executor(fast=True)
+    warmup = 2  # shape-bucket compiles amortize across a serving lifetime
+    n_runs = max(args.repeats, 5) + warmup
     with tempfile.TemporaryDirectory() as td:
-        for i in range(max(args.repeats, 5)):
+        for i in range(n_runs):
             img = rng.random((192, 192, 3), dtype=np.float32) * 0.6
             inp = Path(td) / f"in_{i}.png"
             save_image(img, inp)
@@ -211,14 +213,15 @@ def bench_agent_p50(args):
             agent = IRAgent(inp, Path(td) / f"work_{i}", executor=ex,
                             silent=True)
             agent.run()
-            times.append(time.perf_counter() - t0)
+            if i >= warmup:
+                times.append(time.perf_counter() - t0)
     p50 = sorted(times)[len(times) // 2]
     print(json.dumps({
         "metric": "agent_restore_latency_p50",
         "value": round(p50, 3), "unit": "s",
         "vs_baseline": 0.0}))
-    print(f"# n={len(times)} runs, tiny models, min={min(times):.2f}s "
-          f"max={max(times):.2f}s", file=sys.stderr)
+    print(f"# n={len(times)} timed (+{warmup} warmup), tiny models, "
+          f"min={min(times):.2f}s max={max(times):.2f}s", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -100,35 +100,60 @@ class SeverityEvaluator:
             params = ck.restore(Path(path).resolve(), template)
         return cls(params=params, model=model, input_size=input_size)
 
+    _default_singleton = None
+
     @classmethod
     def default(cls):
         """Best shipped checkpoint (v3: priors+CNN trained on a 256-image
         procedural corpus with multi-degradation mixing — 91%/71% single
         dominant/exact-severity, 76.5% multi dominant, vs v2's 74%/48%;
-        then v2, then the 160px v1), else random init."""
+        then v2, then the 160px v1), else random init.
+
+        Returns a process-wide singleton: a fresh instance would carry a
+        fresh ``jax.jit`` wrapper whose compilation cache starts empty —
+        measured as an 18 s XLA recompile on EVERY agent run."""
+        if cls._default_singleton is not None:
+            return cls._default_singleton
         from pathlib import Path
 
         weights = Path(__file__).resolve().parents[1] / "weights"
         v3 = weights / "degradation_classifier_v3"
+        inst = None
         if v3.exists():
             try:
-                return cls.from_checkpoint(
+                inst = cls.from_checkpoint(
                     v3, input_size=224, model=DegradationClassifierV3())
             except Exception:
                 pass
-        for name, size in (("degradation_classifier_v2", 224),
-                           ("degradation_classifier", 160)):
-            ckpt = weights / name
-            if ckpt.exists():
-                try:
-                    return cls.from_checkpoint(ckpt, input_size=size)
-                except Exception:
-                    pass
-        return cls()
+        if inst is None:
+            for name, size in (("degradation_classifier_v2", 224),
+                               ("degradation_classifier", 160)):
+                ckpt = weights / name
+                if ckpt.exists():
+                    try:
+                        inst = cls.from_checkpoint(ckpt, input_size=size)
+                        break
+                    except Exception:
+                        pass
+        cls._default_singleton = inst or cls()
+        return cls._default_singleton
 
     def logits(self, img: np.ndarray) -> np.ndarray:
-        x = jnp.asarray(prepare_input(img, self.input_size))[None]
-        return np.asarray(self._apply(self.params, x))[0]
+        # the agent's reflection loop asks severity_of() per degradation
+        # on the SAME image — memoize the last few forwards (keyed by a
+        # cheap content fingerprint) so that costs one forward, not 7
+        key = (img.shape, img.dtype.str,
+               hash(img[:: max(1, img.shape[0] // 8),
+                        :: max(1, img.shape[1] // 8)].tobytes()))
+        cache = getattr(self, "_logit_cache", None)
+        if cache is None:
+            cache = self._logit_cache = {}
+        if key not in cache:
+            x = jnp.asarray(prepare_input(img, self.input_size))[None]
+            cache[key] = np.asarray(self._apply(self.params, x))[0]
+            if len(cache) > 16:
+                cache.pop(next(iter(cache)))
+        return cache[key]
 
     def evaluate(self, img: np.ndarray) -> list[tuple[str, str]]:
         lg = self.logits(img)
