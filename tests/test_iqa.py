@@ -86,3 +86,32 @@ class TestSeverityEvaluator:
     def test_eight_degradations_declared(self):
         assert len(DEGRADATIONS) == 8
         assert "low resolution" in DEGRADATIONS
+
+
+class TestEvaluatorSingleton:
+    def test_default_is_shared(self):
+        """default() must return one process-wide instance: a fresh
+        jax.jit wrapper per agent run recompiled the classifier every
+        request (measured 18 s per agent run before the fix)."""
+        from image_restoration_agent_tpu.iqa.classifier import (
+            SeverityEvaluator)
+
+        a = SeverityEvaluator.default()
+        b = SeverityEvaluator.default()
+        assert a is b
+        assert a._apply is b._apply
+
+    def test_logits_memoized_per_image(self):
+        from image_restoration_agent_tpu.iqa.classifier import (
+            SeverityEvaluator)
+
+        ev = SeverityEvaluator()  # random init fine
+        img = np.random.default_rng(0).random((64, 64, 3),
+                                              dtype=np.float32)
+        l1 = ev.logits(img)
+        l2 = ev.logits(img)
+        assert l1 is l2  # cache hit returns the same array object
+        img2 = img.copy()
+        img2[0, 0, 0] += 0.5
+        l3 = ev.logits(img2)
+        assert l3 is not l1
