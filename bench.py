@@ -33,7 +33,8 @@ def main() -> None:
     p.add_argument("--tile", type=int, default=256,
                    help="tile size; 0 = whole-image (untiled) forward")
     p.add_argument("--overlap", type=int, default=32)
-    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--batch", type=int, default=None,
+                   help="tile batch; default picks the zero-pad-waste size")
     p.add_argument("--size", default="1920x1080")
     p.add_argument("--model", default="swinir_sr_x4")
     p.add_argument("--repeats", type=int, default=3)
@@ -67,6 +68,22 @@ def main() -> None:
     w, h = (int(v) for v in args.size.split("x"))
     spec = get_spec(args.model)
     model = build_model(args.model)
+
+    # zero-waste tile batching: the tile batch is padded to a multiple of
+    # `batch`, so pick the candidate (3..8) minimizing pad tiles for this
+    # grid (ties -> larger batch). 1920x1080/t256/o32 -> 45 tiles: batch 5
+    # wastes 0 vs batch 4's 3 pad tiles (measured +4% MP/s).
+    if args.batch is None and args.tile > 0:
+        from image_restoration_agent_tpu.core.tiling import plan_tiles
+
+        pad_h = -(-h // spec.pad_multiple) * spec.pad_multiple
+        pad_w = -(-w // spec.pad_multiple) * spec.pad_multiple
+        n_tiles = plan_tiles(max(pad_h, args.tile), max(pad_w, args.tile),
+                             args.tile, args.overlap).num_tiles
+        args.batch = min(range(3, 9),
+                         key=lambda b: ((-n_tiles) % b, -b))
+    elif args.batch is None:
+        args.batch = 4
 
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.random((h, w, 3), dtype=np.float32))
