@@ -70,7 +70,7 @@ def main() -> None:
     model = build_model(args.model)
 
     # zero-waste tile batching: the tile batch is padded to a multiple of
-    # `batch`, so pick the candidate (3..8) minimizing pad tiles for this
+    # `batch`, so pick the candidate (1..8) minimizing pad tiles for this
     # grid (ties -> larger batch). 1920x1080/t256/o32 -> 45 tiles: batch 5
     # wastes 0 vs batch 4's 3 pad tiles (measured +4% MP/s).
     if args.batch is None and args.tile > 0:
@@ -80,7 +80,7 @@ def main() -> None:
         pad_w = -(-w // spec.pad_multiple) * spec.pad_multiple
         n_tiles = plan_tiles(max(pad_h, args.tile), max(pad_w, args.tile),
                              args.tile, args.overlap).num_tiles
-        args.batch = min(range(3, 9),
+        args.batch = min(range(1, 9),
                          key=lambda b: ((-n_tiles) % b, -b))
     elif args.batch is None:
         args.batch = 4

@@ -188,13 +188,13 @@ class Engine:
             batch = self.default_batch
             if tile is not None and min(hb, wb) > tile:
                 # zero-waste tile batching: the tile batch pads to a
-                # multiple of `batch` — pick 3..8 minimizing pad tiles
+                # multiple of `batch` — pick 1..8 minimizing pad tiles
                 # for this bucketed grid (ties -> larger; +4% measured
                 # on the 2K SR headline)
                 from ..core.tiling import plan_tiles
                 n_tiles = plan_tiles(max(hb, tile), max(wb, tile),
                                      tile, overlap).num_tiles
-                batch = min(range(3, 9),
+                batch = min(range(1, 9),
                             key=lambda b: ((-n_tiles) % b, -b))
         if (hb, wb) != (h0, w0):
             pad_kind = "symmetric" if min(h0, w0) >= max(hb - h0, wb - w0) \
