@@ -1422,33 +1422,15 @@ def diffbir_rules(channel_mult=(1, 2, 4, 4), num_res_blocks: int = 2,
     rules += _vae_rules(r"cond_encoder", r"cond_encoder",
                         parts=("encoder", "quant"))
 
-    # stage-1 SwinIR: reuse swinir_rules with prefixes; the unshuffle
-    # variant's conv_first is Sequential(PixelUnshuffle, Conv) -> .1
+    # stage-1 SwinIR: reuse swinir_rules with prefixes (it already covers
+    # the Real-SR head's conv_up{1..3}/conv_hr and the unshuffle variant's
+    # Sequential conv_first.1)
     pm, dp = r"preprocess_model", r"preprocess_model"
     for pat, tpl, tr in swinir_rules():
         if tpl == "":
             rules.append((rf"{pm}\.{pat}", "", _drop))
         else:
             rules.append((rf"{pm}\.{pat}", rf"{dp}/{tpl}", tr))
-    rules += [
-        (rf"{pm}\.conv_first\.1\.weight",
-         rf"{dp}/conv_first/Conv_0/kernel", t_conv),
-        (rf"{pm}\.conv_first\.1\.bias",
-         rf"{dp}/conv_first/Conv_0/bias", t_id),
-        (rf"{pm}\.conv_up(\d)\.weight", None, None),  # placeholder below
-    ]
-    rules.pop()  # (regex backref arithmetic needs explicit entries)
-    for i in (1, 2, 3):
-        rules += [
-            (rf"{pm}\.conv_up{i}\.weight",
-             rf"{dp}/conv_up{i - 1}/Conv_0/kernel", t_conv),
-            (rf"{pm}\.conv_up{i}\.bias",
-             rf"{dp}/conv_up{i - 1}/Conv_0/bias", t_id),
-        ]
-    rules += [
-        (rf"{pm}\.conv_hr\.weight", rf"{dp}/conv_hr/Conv_0/kernel", t_conv),
-        (rf"{pm}\.conv_hr\.bias", rf"{dp}/conv_hr/Conv_0/bias", t_id),
-    ]
 
     # drops: LDM schedule buffers, EMA shadows, OpenCLIP text stack
     for pat in (r"betas", r"alphas_cumprod.*", r"sqrt_.*", r"log_.*",

@@ -149,6 +149,7 @@ def tiled_apply(
     pad_multiple: int = 1,
     pad_mode: str = "ceil",
     pad_kind: str = "symmetric",
+    pad_to: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Fused pad -> tile -> batched forward -> blend -> crop on one image.
 
@@ -164,11 +165,22 @@ def tiled_apply(
             SwinIR, 8 for Restormer, ...).
         pad_mode: "ceil" | "extra" (see :func:`core.pad.pad_to_multiple`).
         pad_kind: numpy pad mode for the border pixels.
+        pad_to: explicit padded canvas (H', W') overriding pad_multiple —
+            the untiled TPU path pads W to a strip-chunkable width
+            (ops.pallas_attention.pad_width_for_strips).
 
     Returns:
         ``(H*scale, W*scale, C')`` restored image.
     """
-    padded, (h0, w0) = pad_to_multiple(img, max(pad_multiple, 1), pad_mode, pad_kind)
+    if pad_to is not None:
+        h0, w0 = img.shape[-3], img.shape[-2]
+        ph, pw = pad_to[0] - h0, pad_to[1] - w0
+        padded = img if ph == 0 and pw == 0 else jnp.pad(
+            img, [(0, 0)] * (img.ndim - 3) + [(0, ph), (0, pw), (0, 0)],
+            mode=pad_kind if (ph <= h0 and pw <= w0) else "edge")
+    else:
+        padded, (h0, w0) = pad_to_multiple(
+            img, max(pad_multiple, 1), pad_mode, pad_kind)
     h, w = padded.shape[-3], padded.shape[-2]
 
     if tile is None or (tile >= h and tile >= w):

@@ -140,11 +140,14 @@ class SeverityEvaluator:
 
     def logits(self, img: np.ndarray) -> np.ndarray:
         # the agent's reflection loop asks severity_of() per degradation
-        # on the SAME image — memoize the last few forwards (keyed by a
-        # cheap content fingerprint) so that costs one forward, not 7
+        # on the SAME image — memoize the last few forwards. The key hashes
+        # the FULL buffer: a subsampled fingerprint returned stale logits
+        # for restoration ops that only touch pixels off the sparse grid
+        # (e.g. localized rain-streak removal), hiding real severity
+        # changes from the reflection loop. Hashing ~MBs costs far less
+        # than one forward.
         key = (img.shape, img.dtype.str,
-               hash(img[:: max(1, img.shape[0] // 8),
-                        :: max(1, img.shape[1] // 8)].tobytes()))
+               hash(np.ascontiguousarray(img).tobytes()))
         cache = getattr(self, "_logit_cache", None)
         if cache is None:
             cache = self._logit_cache = {}

@@ -30,12 +30,25 @@ RN50_CONFIG = dict(embed_dim=1024, vision_layers=(3, 4, 6, 3),
 class ClipIQA:
     def __init__(self, clip_params, tokenizer=None, clip_model=None,
                  text_features: Optional[np.ndarray] = None,
-                 n_px: int = 224):
+                 n_px: int = 224, native_resolution: bool = True):
         """Either pass a tokenizer (prompt features are computed once) or
-        precomputed ``text_features`` of shape (2, embed_dim)."""
+        precomputed ``text_features`` of shape (2, embed_dim).
+
+        ``native_resolution=True`` matches pyiqa's clipiqa (the reference
+        scorer metric): the image is CLIP-normalized but NOT resized, and
+        the attnpool positional embedding is discarded so the pool accepts
+        any grid. False restores resize/center-crop-to-``n_px`` scoring
+        (one compile for all shapes, embedding kept)."""
         from ..retrieval.clip import CLIPModel
 
-        self.clip = clip_model or CLIPModel(**RN50_CONFIG)
+        self.native = native_resolution and clip_model is None
+        if clip_model is not None:
+            self.clip = clip_model
+            self.native = native_resolution and \
+                not getattr(clip_model, "attnpool_pos", True)
+        else:
+            self.clip = CLIPModel(**RN50_CONFIG,
+                                  attnpool_pos=not self.native)
         self.params = clip_params
         self.n_px = n_px
         if text_features is None:
@@ -59,7 +72,11 @@ class ClipIQA:
 
     def __call__(self, img: np.ndarray) -> float:
         """img: (H, W, 3) float [0,1] -> quality in [0, 1]."""
-        from ..retrieval.clip import preprocess
+        from ..retrieval.clip import CLIP_MEAN, CLIP_STD, preprocess
 
-        x = preprocess(img, n_px=self.n_px)
+        if self.native:
+            x = (np.clip(np.asarray(img, np.float32), 0.0, 1.0)
+                 - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)
+        else:
+            x = preprocess(img, n_px=self.n_px)
         return float(self._score(self.params, jnp.asarray(x)[None])[0])

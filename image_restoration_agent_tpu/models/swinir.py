@@ -24,8 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.pallas_attention import (mlp_block_pallas, roll2d_pallas,
-                                    swin_strip_pallas, wmsa_block_pallas,
-                                    wmsa_pallas)
+                                    strip_chunk_width, swin_strip_pallas,
+                                    wmsa_block_pallas, wmsa_pallas)
 from ..ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
 from ..ops.window_attention import (
     relative_position_index,
@@ -169,8 +169,11 @@ class SwinBlock(nn.Module):
 
         # The attention half-block (LN -> attn -> proj -> +residual) runs on
         # raw (rolled, windowed) features; LN is pixelwise so it commutes
-        # with roll/partition.
-        strip = impl == "pallas_block" and h % ws == 0 and w % ws == 0
+        # with roll/partition. Wide canvases need a column-chunk divisor
+        # (the 2D-grid untiled path); without one, fall back to the
+        # partition path (wide 1D strips are a measured dead end).
+        strip = impl == "pallas_block" and h % ws == 0 and w % ws == 0 \
+            and (w <= 384 or strip_chunk_width(w, ws) is not None)
         attn = WindowAttentionLayer(self.dim, ws, self.num_heads,
                                     attention_impl=impl, name="attn")
 

@@ -26,7 +26,6 @@ group is w mod nW). rpb is (heads, N, N) f32; mask is (nW, N, N) f32.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -356,8 +355,8 @@ def _strip_kernel(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
 
 
 def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
-                         rrows=1, g2=False, fuse_mlp=False,
-                         interpret=False, eps=1e-5):
+                         rrows=1, ccols=1, s0=0, g2=False, fuse_mlp=False,
+                         ablate="", interpret=False, eps=1e-5):
     """Paired-window strip kernel: 2 windows per MXU dot group.
 
     Measured ~1.4x faster than the per-window 'stacked' design on v5e: the
@@ -383,12 +382,22 @@ def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
     ~2.8x while keeping (m, 2m, 64) MXU-friendly dot shapes. Requires the
     q/k/v weights pre-reordered head-major and zero-padded to hp=32 per
     head (and wproj row-reordered to match) at trace time.
+
+    ``ccols`` (column-chunked full-canvas mode): 2 when the caller runs a
+    2D grid (row-strips x column-chunks) over a canvas wider than one
+    chunk. The column part of the folded cyclic roll then spans chunk
+    boundaries, so the kernel receives TWO column chunks per row group
+    (4 x refs ordered [r0c0, r1c0, r0c1, r1c1], modular chunk index maps)
+    and slices the rolled window at static offset ``s0``. This keeps the
+    Mosaic program (and its compile time) at single-chunk width while the
+    grid covers the whole image — the untiled path that removes the
+    tile-overlap redundancy of tiled serving.
     """
-    xrefs = args[:2 * rrows]
+    nx = 2 * rrows * ccols
+    xrefs = args[:nx]
     (lnw_ref, lnb_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
-     wproj_ref, bproj_ref, bias_ref, hmask_ref) = args[2 * rrows:
-                                                       2 * rrows + 12]
-    rest = args[2 * rrows + 12:]
+     wproj_ref, bproj_ref, bias_ref, hmask_ref) = args[nx:nx + 12]
+    rest = args[nx + 12:]
     if fuse_mlp:
         (ln2w_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
          out_ref, xw_ref, q_ref, k_ref, v_ref, attn_ref,
@@ -406,18 +415,26 @@ def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
     hp = q_ref.shape[1] // num_heads  # padded head width (g2: 32)
     ngr = num_heads // 2
 
-    rows = jnp.concatenate([r[0, 0] for r in xrefs], axis=0)
-    if dc < 0:
-        rows = jnp.concatenate([rows[:, -dc:], rows[:, :-dc]], axis=1)
-    elif dc > 0:
-        rows = jnp.concatenate([rows[:, w - dc:], rows[:, :w - dc]], axis=1)
+    if ccols == 2:
+        # column-chunked: the two chunks that contain this output chunk's
+        # rolled columns; slice the rolled window at static offset s0
+        left = jnp.concatenate([r[0, 0] for r in xrefs[:2 * rrows]], axis=0)
+        right = jnp.concatenate([r[0, 0] for r in xrefs[2 * rrows:]], axis=0)
+        both = jnp.concatenate([left, right], axis=1)
+        rows = both[:, s0:s0 + w, :]
+    else:
+        rows = jnp.concatenate([r[0, 0] for r in xrefs], axis=0)
+        if dc < 0:
+            rows = jnp.concatenate([rows[:, -dc:], rows[:, :-dc]], axis=1)
+        elif dc > 0:
+            rows = jnp.concatenate([rows[:, w - dc:], rows[:, :w - dc]],
+                                   axis=1)
 
     for wg in range(twin):
         rr, wi = wg // nwin, wg % nwin
         slab = rows[rr * ws:(rr + 1) * ws, wi * ws:(wi + 1) * ws, :]
         xw_ref[wg * n:(wg + 1) * n, :] = slab.reshape(n, c)
 
-    ablate = os.environ.get("SWIN_ABLATE", "")
     if ablate == "minimal":  # perf probe: I/O + windowize only
         res = xw_ref[:].astype(jnp.float32) + 1.0
         res = res.astype(out_ref.dtype)
@@ -686,13 +703,36 @@ def _paired_bias(rpb, mask_bank, num_heads, n):
     return jnp.stack(out)  # (2, 2, 2n, heads*2n)
 
 
+def strip_chunk_width(w: int, ws: int = 8) -> int | None:
+    """Pick a column-chunk width for the 2D-grid full-canvas strip kernel:
+    a divisor of ``w`` in [128, 384] holding an even number of ``ws``
+    windows (the paired kernel needs even nwin). Returns None if ``w`` has
+    no such divisor (callers should pad W, or fall back to tiling)."""
+    cands = [d for d in range(128, 385, 2 * ws) if w % d == 0]
+    if not cands:
+        return None
+    return min(cands, key=lambda d: (abs(d - 256), -d))
+
+
+def pad_width_for_strips(w: int, ws: int = 8) -> int:
+    """Smallest W' >= w (multiple of ws) with a strip chunk divisor."""
+    wp = -(-w // ws) * ws
+    while strip_chunk_width(wp, ws) is None:
+        wp += ws
+    return wp
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "ws", "dc",
-                                             "attn_mode", "interpret"))
+                                             "attn_mode", "rrows_pref",
+                                             "chunk_pref", "ablate",
+                                             "wchunk_override", "interpret"))
 def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                       rpb, mask=None, num_heads: int = 6, ws: int = 8,
                       dc: int = 0, mask_bank=None,
                       attn_mode: str = "paired2",
                       mlp=None,
+                      rrows_pref: int = 1, chunk_pref: int = 16,
+                      ablate: str = "", wchunk_override: int | None = None,
                       interpret: bool = False):
     """Fused Swin attention half-block over (B, H, W, C) directly, with an
     optional folded cyclic roll.
@@ -727,6 +767,15 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         attn_mode = "stacked"  # pairing needs even windows; full-mask mode
         # (arbitrary per-window masks) stays on the stacked path
 
+    # Column-chunked full-canvas mode: canvases wider than one chunk run a
+    # 2D (row-strip, col-chunk) grid whose Mosaic program stays at chunk
+    # width — compile time is that of a ~256-wide strip regardless of W.
+    wchunk, ncols = w, 1
+    if attn_mode == "paired2" and (w > 384 or wchunk_override):
+        d = wchunk_override or strip_chunk_width(w, ws)
+        if d and d < w and w % d == 0 and (d // ws) % 2 == 0:
+            wchunk, ncols = d, w // d
+
     head_mask = np.zeros((num_heads, c), np.float32)
     for hh in range(num_heads):
         head_mask[hh, hh * hd:(hh + 1) * hd] = 1.0
@@ -736,41 +785,60 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         g2 = {"paired": False, "paired2": True,
               "paired2r": "rolled"}[attn_mode]
         m = 2 * n
+        nwin_c = wchunk // ws
         # superstrip height: R window-rows per grid step amortize the
         # ~11us fixed per-step cost (see _strip_kernel_paired docstring).
         # Default 1: R>1 multiplies Mosaic compile time through the
         # unrolled pair loops (tracked; needs rolled fori_loop bodies)
-        pref_rs = int(os.environ.get("SWIN_RS", "1"))
-        rrows = next(rr for rr in (pref_rs, 4, 2, 1)
-                     if rr <= pref_rs and rows_per_img % rr == 0)
-        if g2 == "rolled":
-            rrows = 1  # rolled body assumes the single-row bias layout
+        rrows = next(rr for rr in (rrows_pref, 4, 2, 1)
+                     if rr <= rrows_pref and rows_per_img % rr == 0)
+        if g2 == "rolled" or ncols > 1:
+            rrows = 1  # rolled/chunked bodies use single-row bias layout
         steps_per_img = rows_per_img // rrows
         nsteps = b * steps_per_img
-        npair = rrows * (nwin // 2)
-        twin = rrows * nwin
-        pref = int(os.environ.get("SWIN_CHUNK", "16"))
-        chunk = next(cc for cc in (pref, 16, 8, 4, 2, 1)
-                     if cc <= pref and npair % cc == 0)
+        npair = rrows * (nwin_c // 2)
+        twin = rrows * nwin_c
+        chunk = max(cc for cc in range(1, min(chunk_pref, npair) + 1)
+                    if npair % cc == 0)
         if g2 == "rolled":
             # one pair per chunk measured FASTER than chunked softmax
             # (5.24 vs 5.65 ms at W=256): the traced-offset km/vm stores
             # cost more than the softmax batching saves
             chunk = 1
         bias2 = _paired_bias(rpb, mask_bank, num_heads, n)
-        # (step-type, row-in-step, col-variant, m, H*m): the row-edge mask
-        # applies only to the LAST row of the LAST step of each image
         interior, row_edge = bias2[0], bias2[1]
-        bias = jnp.stack([
-            jnp.stack([interior] * rrows),
-            jnp.stack([interior] * (rrows - 1) + [row_edge]),
-        ])
-        bias_spec = pl.BlockSpec(
-            (1, rrows, 2, m, num_heads * m),
-            (lambda i: ((((i % steps_per_img) + 1) // steps_per_img),
-                        0, 0, 0, 0))
-            if mask_bank is not None else (lambda i: (0, 0, 0, 0, 0)),
-            memory_space=pltpu.VMEM)
+        if ncols > 1:
+            # (4, 1, 2, m, H*m): leading index = 2*is_row_edge + is_col
+            # _edge chosen by the (i, j) map; the col-edge sel slot only
+            # exists in the last column chunk's blocks
+            int_pair = jnp.stack([interior[0], interior[0]])
+            rowe_pair = jnp.stack([row_edge[0], row_edge[0]])
+            bias = jnp.stack(
+                [int_pair, interior, rowe_pair, row_edge])[:, None]
+
+            def bias_idx(i, j):
+                re_ = ((i % steps_per_img) + 1) // steps_per_img
+                ce_ = (j + 1) // ncols
+                return (2 * re_ + ce_, 0, 0, 0, 0)
+
+            bias_spec = pl.BlockSpec(
+                (1, 1, 2, m, num_heads * m),
+                bias_idx if mask_bank is not None
+                else (lambda i, j: (0, 0, 0, 0, 0)),
+                memory_space=pltpu.VMEM)
+        else:
+            # (step-type, row-in-step, col-variant, m, H*m): the row-edge
+            # mask applies only to the LAST row of the LAST step per image
+            bias = jnp.stack([
+                jnp.stack([interior] * rrows),
+                jnp.stack([interior] * (rrows - 1) + [row_edge]),
+            ])
+            bias_spec = pl.BlockSpec(
+                (1, rrows, 2, m, num_heads * m),
+                (lambda i: ((((i % steps_per_img) + 1) // steps_per_img),
+                            0, 0, 0, 0))
+                if mask_bank is not None else (lambda i: (0, 0, 0, 0, 0)),
+                memory_space=pltpu.VMEM)
 
         xg = x.reshape(b * groups, 1, s, w, c)
         d0 = -dc // s if dc else 0
@@ -782,9 +850,35 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                         0, 0, 0, 0)
             return f
 
+        if ncols > 1:
+            ccols = 2 if dc else 1
+            c0 = -1 if dc > 0 else 0
+            s0 = (-dc) if dc < 0 else (wchunk - dc if dc > 0 else 0)
+
+            def idxp2(roff, coff):
+                def f(i, j):
+                    img, r = i // steps_per_img, i % steps_per_img
+                    return (img * groups + (2 * r + d0 + roff) % groups,
+                            0, 0, (j + c0 + coff) % ncols, 0)
+                return f
+
+            in_maps = [idxp2(roff, coff)
+                       for coff in range(ccols) for roff in range(2)]
+            out_spec = pl.BlockSpec((1, 1, ws, wchunk, c),
+                                    lambda i, j: (i, 0, 0, j, 0),
+                                    memory_space=pltpu.VMEM)
+            grid = (nsteps, ncols)
+        else:
+            ccols, s0 = 1, 0
+            in_maps = [idxp(d0 + jj) for jj in range(2 * rrows)]
+            out_spec = pl.BlockSpec((1, 1, rrows * ws, w, c),
+                                    lambda i: (i, 0, 0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            grid = (nsteps,)
+
         def repp(shape):
             nd = len(shape)
-            return pl.BlockSpec(shape, lambda i: (0,) * nd,
+            return pl.BlockSpec(shape, lambda *_: (0,) * nd,
                                 memory_space=pltpu.VMEM)
 
         scale = hd ** -0.5
@@ -821,8 +915,9 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
             wp_a = wproj
         kernel = functools.partial(
             _strip_kernel_paired, num_heads=num_heads, head_dim=hd,
-            nwin=nwin, ws=ws, dc=dc, chunk=chunk, rrows=rrows, g2=g2,
-            fuse_mlp=mlp is not None, interpret=interpret)
+            nwin=nwin_c, ws=ws, dc=dc, chunk=chunk, rrows=rrows,
+            ccols=ccols, s0=s0, g2=g2,
+            fuse_mlp=mlp is not None, ablate=ablate, interpret=interpret)
         mlp_specs, mlp_args = [], []
         if mlp is not None:
             ln2w, ln2b, w1, b1, w2, b2 = mlp
@@ -836,12 +931,12 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         kv_rows = (chunk * num_heads * m) if not g2 \
             else (chunk * (num_heads // 2) * 2 * m)
         kv_cols = c if not g2 else 2 * hp2
-        in_specs = [pl.BlockSpec((1, 1, s, w, c), idxp(d0 + j),
+        in_specs = [pl.BlockSpec((1, 1, s, wchunk, c), im,
                                  memory_space=pltpu.VMEM)
-                    for j in range(2 * rrows)]
+                    for im in in_maps]
         out = pl.pallas_call(
             kernel,
-            grid=(nsteps,),
+            grid=grid,
             in_specs=in_specs + [
                 repp((c,)), repp((c,)),
                 repp((c, cp2)), repp((c, cp2)), repp((c, cp2)),
@@ -850,9 +945,7 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                 bias_spec,
                 repp((num_heads, c)),
             ] + mlp_specs,
-            out_specs=pl.BlockSpec((1, 1, rrows * ws, w, c),
-                                   lambda i: (i, 0, 0, 0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct(
                 (nsteps, 1, rrows * ws, w, c), x.dtype),
             scratch_shapes=[
@@ -869,7 +962,7 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(*([xg] * (2 * rrows)),
+        )(*([xg] * len(in_maps)),
           ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
           wq_a.astype(x.dtype), wk_a.astype(x.dtype), wv_a.astype(x.dtype),
           bq_a.astype(jnp.float32), bk_a.astype(jnp.float32),

@@ -81,9 +81,14 @@ class Bottleneck(nn.Module):
 
 
 class AttentionPool2d(nn.Module):
-    """Mean-token query attention pooling (CLIP model.py AttentionPool2d)."""
+    """Mean-token query attention pooling (CLIP model.py AttentionPool2d).
+
+    ``use_pos_embed=False`` skips the positional embedding so the pool
+    accepts any spatial grid — the CLIP-IQA preprocessing (pyiqa clipiqa
+    runs CLIP at native image resolution with the embedding discarded)."""
     num_heads: int
     output_dim: int
+    use_pos_embed: bool = True
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
@@ -91,9 +96,10 @@ class AttentionPool2d(nn.Module):
         tokens = x.reshape(b, h * w, c)
         tokens = jnp.concatenate(
             [tokens.mean(axis=1, keepdims=True), tokens], axis=1)
-        pos = self.param("positional_embedding",
-                         nn.initializers.normal(0.02), (h * w + 1, c))
-        tokens = tokens + pos[None]
+        if self.use_pos_embed:
+            pos = self.param("positional_embedding",
+                             nn.initializers.normal(0.02), (h * w + 1, c))
+            tokens = tokens + pos[None]
 
         q = nn.Dense(c, name="q_proj")(tokens[:, :1])
         k = nn.Dense(c, name="k_proj")(tokens)
@@ -116,6 +122,7 @@ class ModifiedResNet(nn.Module):
     width: int = 80
     output_dim: int = 640
     heads: int = 40
+    attnpool_pos: bool = True
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, 3), CLIP-normalized
@@ -140,6 +147,7 @@ class ModifiedResNet(nn.Module):
                 x = Bottleneck(planes, stride,
                                name=f"layer{li + 1}_{bi}")(x)
         return AttentionPool2d(self.heads, self.output_dim,
+                               use_pos_embed=self.attnpool_pos,
                                name="attnpool")(x)
 
 
@@ -213,11 +221,13 @@ class CLIPModel(nn.Module):
     text_heads: int = 10
     vocab_size: int = 49408
     context_length: int = 77
+    attnpool_pos: bool = True
 
     def setup(self):
         self.visual = ModifiedResNet(
             tuple(self.vision_layers), self.vision_width, self.embed_dim,
-            heads=self.vision_width * 32 // 64)
+            heads=self.vision_width * 32 // 64,
+            attnpool_pos=self.attnpool_pos)
         self.text = TextTransformer(
             self.vocab_size, self.context_length, self.text_width,
             self.text_layers, self.text_heads, self.embed_dim)

@@ -59,6 +59,8 @@ class RetrievalModel(nn.Module):
 
 
 class RetrievalEmbedder:
+    identity = "trained_standin"  # recorded in vector-store metadata
+
     def __init__(self, params=None, seed: int = 0, feature_dim: int = 640):
         self.model = RetrievalModel(feature_dim)
         if params is None:
@@ -85,6 +87,7 @@ class CLIPRetrievalEmbedder:
     """
 
     CAPTION = "similar degradation"
+    identity = "clip4cir_rn50x4"  # recorded in vector-store metadata
 
     def __init__(self, clip_params, combiner_params, tokenizer,
                  caption: Optional[str] = None, n_px: int = 288,

@@ -36,6 +36,9 @@ class NumpyVectorStore:
         self._seqs: list[str] = []
         self._embs = np.zeros((0, dim), np.float32)
         self._embedder = embedder
+        # both embedders are 640-d, so appending with a different one
+        # silently corrupts retrieval — record which produced the vectors
+        self.embedder_id = getattr(embedder, "identity", None)
 
     def __len__(self):
         return len(self._names)
@@ -76,13 +79,24 @@ class NumpyVectorStore:
         np.savez_compressed(
             path, embeddings=self._embs,
             meta=json.dumps({"names": self._names, "seqs": self._seqs,
-                             "dim": self.dim}))
+                             "dim": self.dim,
+                             "embedder": self.embedder_id}))
 
     @classmethod
-    def load(cls, path: Path, embedder=None) -> "NumpyVectorStore":
+    def load(cls, path: Path, embedder=None,
+             allow_mismatch: bool = False) -> "NumpyVectorStore":
         data = np.load(path, allow_pickle=False)
         meta = json.loads(str(data["meta"]))
         st = cls(dim=meta["dim"], embedder=embedder)
+        stored_id = meta.get("embedder")
+        new_id = getattr(embedder, "identity", None)
+        if (stored_id and new_id and stored_id != new_id
+                and not allow_mismatch):
+            raise ValueError(
+                f"store {path} was built with embedder '{stored_id}' but "
+                f"'{new_id}' was passed — mixed-embedder stores corrupt "
+                "retrieval (pass allow_mismatch=True to override)")
+        st.embedder_id = stored_id or new_id
         st._names = list(meta["names"])
         st._seqs = list(meta["seqs"])
         st._embs = data["embeddings"].astype(np.float32)

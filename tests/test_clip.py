@@ -368,3 +368,25 @@ def test_clipiqa_scores(tmp_path):
     assert isinstance(out["clipiqa"], float)
     sc_none = Scorer(metrics=("clipiqa",))
     assert sc_none.score_arrays(img, img)["clipiqa"] is None
+
+
+def test_clipiqa_native_resolution():
+    """pyiqa-matching mode: no resize, attnpool positional embedding
+    skipped, so arbitrary image sizes score without shape errors."""
+    from image_restoration_agent_tpu.iqa.clipiqa import ClipIQA
+
+    fm = CLIPModel(embed_dim=EMBED, vision_layers=V_LAYERS,
+                   vision_width=V_WIDTH, image_resolution=RES,
+                   text_width=T_WIDTH, text_layers=T_LAYERS,
+                   text_heads=T_HEADS, vocab_size=VOCAB,
+                   context_length=CTX, attnpool_pos=False)
+    params = fm.init(jax.random.PRNGKey(0), jnp.zeros((1, RES, RES, 3)),
+                     jnp.zeros((1, CTX), jnp.int32))
+    tf = np.random.default_rng(0).standard_normal((2, EMBED)) \
+        .astype(np.float32)
+    iqa = ClipIQA(params, clip_model=fm, text_features=tf,
+                  native_resolution=True)
+    assert iqa.native
+    for shape in ((70, 90, 3), (64, 64, 3)):
+        s = iqa(np.random.default_rng(2).random(shape, dtype=np.float32))
+        assert 0.0 <= s <= 1.0

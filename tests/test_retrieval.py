@@ -43,6 +43,36 @@ class TestNumpyVectorStore:
         st = NumpyVectorStore(dim=4)
         assert st.query(np.ones(4, np.float32)) == []
 
+    def test_embedder_identity_mismatch_refused(self, tmp_path):
+        """A store built with one embedder refuses to load under another
+        (both are 640-d, so a silent mix would corrupt retrieval)."""
+
+        class EmbA:
+            identity = "trained_standin"
+
+        class EmbB:
+            identity = "clip4cir_rn50x4"
+
+        st = NumpyVectorStore(dim=4, embedder=EmbA())
+        st.insert(RetrievalRecord("a", "denoising_nafnet",
+                                  np.array([1, 0, 0, 0], np.float32)))
+        st.save(tmp_path / "s.npz")
+        # same identity: fine
+        st2 = NumpyVectorStore.load(tmp_path / "s.npz", embedder=EmbA())
+        assert st2.embedder_id == "trained_standin"
+        # different identity: refused unless overridden
+        with pytest.raises(ValueError, match="trained_standin"):
+            NumpyVectorStore.load(tmp_path / "s.npz", embedder=EmbB())
+        st3 = NumpyVectorStore.load(tmp_path / "s.npz", embedder=EmbB(),
+                                    allow_mismatch=True)
+        assert len(st3) == 1
+        # legacy stores (no embedder recorded) load under any embedder
+        st.embedder_id = None
+        st.save(tmp_path / "legacy.npz")
+        st4 = NumpyVectorStore.load(tmp_path / "legacy.npz",
+                                    embedder=EmbB())
+        assert st4.embedder_id == "clip4cir_rn50x4"
+
 
 class TestCombiner:
     def test_output_normalized(self, rng):

@@ -303,6 +303,69 @@ class TestPaired2Mode:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+class TestChunkedGrid:
+    """Column-chunked 2D-grid mode (full-canvas untiled path): the kernel
+    body stays at chunk width while the grid covers the whole canvas; the
+    folded roll's column part spans chunk boundaries via paired col refs."""
+
+    def test_chunked_matches_unchunked(self, rng):
+        x, ps = _strip_args(rng, 4 * WS, 6 * WS)  # 6 windows wide
+        for dc, bank in ((0, None), (0, _bank()), (-S, _bank()), (S, None),
+                         (S, _bank()), (-S, None)):
+            want = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                     mask_bank=bank, dc=dc,
+                                     attn_mode="paired2", interpret=True)
+            got = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                    mask_bank=bank, dc=dc,
+                                    attn_mode="paired2",
+                                    wchunk_override=2 * WS,  # 3 col chunks
+                                    interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-5, err_msg=f"dc={dc}")
+
+    def test_chunked_fused_mlp(self, rng):
+        mlp = TestFusedMlp._mlp_params(TestFusedMlp(), rng)
+        x, ps = _strip_args(rng, 2 * WS, 8 * WS)
+        want = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                 mask_bank=_bank(), dc=-S,
+                                 attn_mode="paired2", mlp=mlp,
+                                 interpret=True)
+        got = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                mask_bank=_bank(), dc=-S,
+                                attn_mode="paired2", mlp=mlp,
+                                wchunk_override=4 * WS,  # 2 col chunks
+                                interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5)
+
+    def test_chunked_multibatch(self, rng):
+        """b > 1 (tile batches also ride the 2D grid)."""
+        x1, ps = _strip_args(rng, 4 * WS, 4 * WS)
+        x = jnp.concatenate([x1, x1[:, ::-1]], axis=0)
+        want = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                 mask_bank=_bank(), dc=-S,
+                                 attn_mode="paired2", interpret=True)
+        got = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                mask_bank=_bank(), dc=-S,
+                                attn_mode="paired2",
+                                wchunk_override=2 * WS,
+                                interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+    def test_chunk_width_helpers(self):
+        from image_restoration_agent_tpu.ops.pallas_attention import (
+            pad_width_for_strips, strip_chunk_width)
+
+        assert strip_chunk_width(1920) == 240
+        assert strip_chunk_width(1280) == 256
+        assert strip_chunk_width(2048) == 256
+        assert strip_chunk_width(1928) is None  # 8 * prime
+        wp = pad_width_for_strips(1923)
+        assert wp >= 1928 and wp % 8 == 0
+        assert strip_chunk_width(wp) is not None
+
+
 class TestPaired2Rolled:
     def test_paired2r_matches_stacked(self, rng):
         """attn_mode='paired2r' (fori_loop pair body, npair-independent
