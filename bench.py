@@ -120,16 +120,25 @@ def main() -> None:
         out = model.apply(params, x)
         return out.astype(jnp.float32)
 
-    # untiled (whole-canvas) forward: the 2D-grid strip kernel needs W
-    # padded to a chunkable width; pad with ceil semantics (the "extra"
-    # window of the reference's tiled path only affects border pixels)
+    # whole-canvas mode (--tile 0): full-width row bands. The 2D-grid
+    # strip kernel runs at the full padded width (chunkable, ceil-pad
+    # semantics — the reference's "extra" window only affects borders);
+    # banding the rows bounds the x4 pixel-shuffle head's HBM (a true
+    # single-shot 1080p x4 head OOMs: ~8GB conv_last activation), at
+    # ~1.5% overlap redundancy vs tiled-256's 42%.
     pad_to = None
     if tile is None and args.model.startswith("swinir"):
         from image_restoration_agent_tpu.ops.pallas_attention import (
             pad_width_for_strips)
 
         ph = -(-h // spec.pad_multiple) * spec.pad_multiple
-        pad_to = (ph, pad_width_for_strips(w))
+        pw = pad_width_for_strips(w)
+        pad_to = (ph, pw)
+        ov = 16
+        n_bands = max(2, -(-(ph * pw) // 1_100_000))
+        bh = -(-(ph + (n_bands - 1) * ov) // n_bands // 8) * 8
+        tile = (bh, pw)
+        args.overlap, args.batch = ov, 1
 
     @jax.jit
     def run(img):

@@ -124,6 +124,17 @@ MANIFEST: tuple[WeightEntry, ...] = (
                 "https://github.com/richzhang/PerceptualSimilarity "
                 "(lpips/weights/v0.1/alex.pth + torchvision alexnet)",
                 "lpips_rules"),
+    # --- metrics: MANIQA + MUSIQ (the reference's last two NR metrics) ---
+    WeightEntry("maniqa", "ckpt_koniq10k.pt",
+                "https://github.com/IIGROUP/MANIQA/releases",
+                "maniqa_rules",
+                notes="pyiqa's maniqa default (KonIQ-10k); see iqa/maniqa.py"
+                      " port notes — validate-weights arbitrates"),
+    WeightEntry("musiq", "musiq_koniq_ckpt.pth",
+                "https://github.com/chaofengc/IQA-PyTorch/releases "
+                "(pyiqa musiq koniq weights, converted from the TF "
+                "google-research/musiq release)", "musiq_rules",
+                notes="see iqa/musiq.py port caveats (patch encoder)"),
 )
 
 

@@ -1509,3 +1509,7 @@ def extract_empty_context(state: dict, context_length: int = 77,
         x = x + gelu(y @ w1.T + b1) @ w2.T + b2
 
     return ln(x, p + "ln_final")
+
+# NR-metric rule sets live in iqa_rules; re-exported here so the manifest
+# getattr-based lookup finds every rule factory in one namespace.
+from .iqa_rules import maniqa_rules, musiq_rules  # noqa: E402,F401

@@ -33,14 +33,25 @@ from .pad import pad_to_multiple
 
 @dataclasses.dataclass(frozen=True)
 class TilePlan:
-    """A static tile decomposition of an ``(H, W)`` canvas."""
+    """A static tile decomposition of an ``(H, W)`` canvas.
+
+    Tiles may be rectangular (``tile_h != tile_w``) — full-width row bands
+    (tile_w == width) are the memory-bounded whole-image mode the untiled
+    TPU path uses for x4 SR heads.
+    """
 
     height: int
     width: int
-    tile: int
+    tile_h: int
+    tile_w: int
     overlap: int
     h_starts: tuple[int, ...]
     w_starts: tuple[int, ...]
+
+    @property
+    def tile(self) -> "int | tuple[int, int]":
+        return self.tile_h if self.tile_h == self.tile_w \
+            else (self.tile_h, self.tile_w)
 
     @property
     def num_tiles(self) -> int:
@@ -54,60 +65,70 @@ class TilePlan:
         )
 
 
-def plan_tiles(height: int, width: int, tile: int, overlap: int = 32) -> TilePlan:
+def plan_tiles(height: int, width: int, tile, overlap: int = 32) -> TilePlan:
     """Plan a tile grid exactly like the reference serving loop.
 
-    ``tile`` is clamped to the canvas, stride = tile - overlap, and the last
-    tile is snapped to the bottom/right edge (reference SwinIR
+    ``tile`` (an int, or an ``(th, tw)`` pair for rectangular tiles) is
+    clamped to the canvas, stride = tile - overlap, and the last tile is
+    snapped to the bottom/right edge (reference SwinIR
     model_serving.py:150-153).
     """
-    tile = min(tile, height, width)
-    if overlap >= tile:
-        raise ValueError(f"overlap {overlap} must be < tile {tile}")
-    stride = tile - overlap
-    h_starts = tuple(range(0, height - tile, stride)) + (height - tile,)
-    w_starts = tuple(range(0, width - tile, stride)) + (width - tile,)
-    return TilePlan(height, width, tile, overlap, h_starts, w_starts)
+    if isinstance(tile, (tuple, list)):
+        th, tw = min(tile[0], height), min(tile[1], width)
+    else:
+        # reference scalar clamp: tile = min(tile, h, w) on BOTH axes
+        th = tw = min(tile, height, width)
+    if overlap >= th and th < height or overlap >= tw and tw < width:
+        raise ValueError(f"overlap {overlap} must be < tile ({th}, {tw})")
+
+    def starts(size, t):
+        if t >= size:
+            return (0,)
+        return tuple(range(0, size - t, t - overlap)) + (size - t,)
+
+    return TilePlan(height, width, th, tw, overlap,
+                    starts(height, th), starts(width, tw))
 
 
 def extract_tiles(img: jnp.ndarray, plan: TilePlan) -> jnp.ndarray:
-    """Gather all tiles of an ``(H, W, C)`` image into ``(N, tile, tile, C)``."""
-    t = plan.tile
+    """Gather all tiles of an ``(H, W, C)`` image into ``(N, th, tw, C)``."""
+    th, tw = plan.tile_h, plan.tile_w
     offsets = jnp.asarray(plan.offsets)
 
     def gather(off):
-        return jax.lax.dynamic_slice(img, (off[0], off[1], 0), (t, t, img.shape[-1]))
+        return jax.lax.dynamic_slice(img, (off[0], off[1], 0),
+                                     (th, tw, img.shape[-1]))
 
     return jax.vmap(gather)(offsets)
 
 
 def _weight_canvas(plan: TilePlan, scale: int, n_valid: int | None = None) -> np.ndarray:
     """Compile-time constant overlap-count canvas (the reference's W buffer)."""
-    t, s = plan.tile, scale
+    th, tw, s = plan.tile_h, plan.tile_w, scale
     w = np.zeros((plan.height * s, plan.width * s, 1), dtype=np.float32)
     for i, (oh, ow) in enumerate(plan.offsets):
         if n_valid is not None and i >= n_valid:
             break
-        w[oh * s : (oh + t) * s, ow * s : (ow + t) * s] += 1.0
+        w[oh * s : (oh + th) * s, ow * s : (ow + tw) * s] += 1.0
     return w
 
 
 def blend_tiles(
     tiles: jnp.ndarray, plan: TilePlan, scale: int = 1
 ) -> jnp.ndarray:
-    """Overlap-blend ``(N, t*s, t*s, C)`` tile outputs onto the full canvas.
+    """Overlap-blend ``(N, th*s, tw*s, C)`` tile outputs onto the canvas.
 
     Implements the reference E/W accumulate-then-divide
     (model_serving.py:154-166) with W folded into a constant.
     """
-    n, ts = tiles.shape[0], tiles.shape[1]
+    n, ths, tws = tiles.shape[0], tiles.shape[1], tiles.shape[2]
     c = tiles.shape[-1]
     offsets = jnp.asarray(plan.offsets[:n] * scale)
     canvas = jnp.zeros((plan.height * scale, plan.width * scale, c), tiles.dtype)
 
     def body(e, inp):
         patch, off = inp
-        cur = jax.lax.dynamic_slice(e, (off[0], off[1], 0), (ts, ts, c))
+        cur = jax.lax.dynamic_slice(e, (off[0], off[1], 0), (ths, tws, c))
         e = jax.lax.dynamic_update_slice(e, cur + patch, (off[0], off[1], 0))
         return e, None
 
@@ -127,15 +148,16 @@ def _batched_apply(
     The tile count is padded up to a multiple of ``batch``; padded outputs are
     dropped before blending.
     """
-    n, t, _, c = tiles.shape
+    n, th, tw, c = tiles.shape
     if batch >= n:
         return fn(tiles)
     n_pad = (-n) % batch
     if n_pad:
         tiles = jnp.concatenate([tiles, tiles[:n_pad]], axis=0)
-    chunks = tiles.reshape(-1, batch, t, t, c)
+    chunks = tiles.reshape(-1, batch, th, tw, c)
     out_chunks = jax.lax.map(fn, chunks)
-    out = out_chunks.reshape(-1, t * scale, t * scale, out_chunks.shape[-1])
+    out = out_chunks.reshape(-1, th * scale, tw * scale,
+                             out_chunks.shape[-1])
     return out[:n]
 
 
@@ -183,7 +205,9 @@ def tiled_apply(
             img, max(pad_multiple, 1), pad_mode, pad_kind)
     h, w = padded.shape[-3], padded.shape[-2]
 
-    if tile is None or (tile >= h and tile >= w):
+    th, tw = (tile, tile) if tile is None or isinstance(tile, int) \
+        else tile
+    if tile is None or (th >= h and tw >= w):
         out = fn(padded[None])[0]
     else:
         plan = plan_tiles(h, w, tile, overlap)

@@ -1272,6 +1272,9 @@ def roll2d_pallas(x, shift: int, ws: int = 8, interpret: bool = False):
         out_specs=pl.BlockSpec((1, 1, ws, w, c), lambda i: (i, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * rows, 1, ws, w, c), x.dtype),
+        # full-canvas widths push the strip blocks past the 16MB default
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xg, xg)
     return out.reshape(b, h, w, c)

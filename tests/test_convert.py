@@ -198,7 +198,8 @@ class TestManifest:
         from image_restoration_agent_tpu.convert import torch_import as ti
         from image_restoration_agent_tpu.models import list_models
 
-        aux = {"clip_rn50x4", "combiner", "lpips_alex", "diffbir"}
+        aux = {"clip_rn50x4", "combiner", "lpips_alex", "diffbir",
+               "maniqa", "musiq"}
         models = set(list_models())
         for e in mf.MANIFEST:
             assert e.model in models or e.model in aux, e.model

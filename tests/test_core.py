@@ -58,6 +58,33 @@ class TestTiling:
         plan = plan_tiles(40, 100, 64, overlap=16)
         assert plan.tile == 40
 
+    def test_rect_tiles_full_width_bands(self, rng):
+        """Rectangular (th, tw) tiles: full-width row bands tile + blend
+        back to identity (the untiled TPU mode for x4 SR heads)."""
+        img = jnp.asarray(rng.random((72, 56, 3), dtype=np.float32))
+        plan = plan_tiles(72, 56, (40, 56), overlap=8)
+        assert plan.w_starts == (0,)
+        assert plan.h_starts == (0, 32)
+        tiles = extract_tiles(img, plan)
+        assert tiles.shape == (2, 40, 56, 3)
+        out = blend_tiles(tiles, plan, scale=1)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img),
+                                   atol=1e-6)
+
+    def test_rect_tiles_tiled_apply(self, rng):
+        """tiled_apply with band tiles == whole-image forward for a
+        pixelwise model (x2 via repeat)."""
+        img = jnp.asarray(rng.random((40, 24, 3), dtype=np.float32))
+
+        def fn(b):
+            return jnp.repeat(jnp.repeat(b * 2.0, 2, axis=1), 2, axis=2)
+
+        out = tiled_apply(fn, img, tile=(16, 24), overlap=8, scale=2,
+                          batch=1)
+        want = fn(img[None])[0]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=1e-6)
+
     def test_extract_blend_identity(self, rng):
         """With an identity model, tile+blend must reproduce the image."""
         img = jnp.asarray(rng.random((72, 56, 3), dtype=np.float32))
