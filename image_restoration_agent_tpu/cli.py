@@ -73,6 +73,17 @@ def main(argv=None):
     pw.add_argument("--out", default="weights",
                     help="orbax weight root (engine weight_dir)")
 
+    pvw = sub.add_parser(
+        "validate-weights",
+        help="one-command real-checkpoint gate: convert every manifest "
+             "entry found in a checkpoint dir, run each family on a "
+             "fixture, score vs stored goldens")
+    pvw.add_argument("ckpt_dir", help="directory of downloaded checkpoints")
+    pvw.add_argument("--out", default="weights",
+                     help="orbax weight root (engine weight_dir)")
+    pvw.add_argument("--models", default=None,
+                     help="comma-separated subset of manifest models")
+
     pv = sub.add_parser("eval-suite",
                         help="run the 16-combo agent benchmark")
     pv.add_argument("--work-dir", default="eval_suite_work")
@@ -157,6 +168,15 @@ def main(argv=None):
         store.save(store_path)
         print(json.dumps({"inserted": n, "total": len(store),
                           "store": str(store_path)}))
+    elif args.cmd == "validate-weights":
+        from .offline.validate_weights import validate
+
+        report = validate(
+            Path(args.ckpt_dir), Path(args.out),
+            models=args.models.split(",") if args.models else None)
+        print(json.dumps({k: report[k] for k in
+                          ("pass", "converted_aux", "failed", "missing")}))
+        return 1 if report["failed"] else 0
     elif args.cmd == "eval-suite":
         from .offline.benchmark_suite import ALL_COMBOS, run_suite
 

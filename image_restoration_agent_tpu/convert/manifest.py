@@ -148,12 +148,13 @@ def get_entry(model: str) -> WeightEntry:
 
 def convert_checkpoint(model: str, ckpt_path: str | Path,
                        out_dir: str | Path,
-                       template_factory: Optional[Callable] = None) -> Path:
+                       template_factory: Optional[Callable] = None,
+                       entry: Optional[WeightEntry] = None) -> Path:
     """Convert a downloaded reference checkpoint to the orbax layout the
     engine serves from. Returns the orbax directory."""
     from . import torch_import as ti
 
-    entry = get_entry(model)
+    entry = entry or get_entry(model)
     out = Path(out_dir) / model
     if entry.rules is None:  # MAXIM: Flax .npz name-map
         from .maxim_rules import convert_maxim
