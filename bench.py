@@ -56,7 +56,8 @@ def main() -> None:
     p.add_argument("--config", default=None,
                    choices=[None, "nafnet_denoise", "restormer_720p",
                             "swinir_2k_sr", "gan_sr_jpeg_batch",
-                            "agent_p50"],
+                            "agent_p50", "agent_p50_full",
+                            "diffbir_sr"],
                    help="BASELINE.json preset overriding model/size/tile")
     args = p.parse_args()
 
@@ -70,7 +71,11 @@ def main() -> None:
     elif args.config == "gan_sr_jpeg_batch":
         return bench_gan_sr_jpeg_batch(args)
     elif args.config == "agent_p50":
-        return bench_agent_p50(args)
+        return bench_agent_p50(args, fast=True)
+    elif args.config == "agent_p50_full":
+        return bench_agent_p50(args, fast=False)
+    elif args.config == "diffbir_sr":
+        return bench_diffbir(args)
 
     enable_compile_cache()
     import jax
@@ -161,11 +166,22 @@ def main() -> None:
     dt = min(times)
     mp = h * w / 1e6
     value = mp / dt
+    # per-config metric names; the A100 estimate (REF_A100_MP_PER_S) only
+    # applies to the SwinIR x4-SR serving contract, so non-SR configs
+    # report vs_baseline null instead of dividing by an unrelated number
+    metric, base = {
+        None: ("megapixels_per_sec_per_chip_4x_sr_tiled",
+               REF_A100_MP_PER_S),
+        "swinir_2k_sr": ("megapixels_per_sec_per_chip_4x_sr_tiled",
+                         REF_A100_MP_PER_S),
+        "nafnet_denoise": ("megapixels_per_sec_denoise_256", None),
+        "restormer_720p": ("megapixels_per_sec_deblur_720p", None),
+    }[args.config]
     print(json.dumps({
-        "metric": "megapixels_per_sec_per_chip_4x_sr_tiled",
+        "metric": metric,
         "value": round(value, 4),
         "unit": "MP/s",
-        "vs_baseline": round(value / REF_A100_MP_PER_S, 3),
+        "vs_baseline": round(value / base, 3) if base else None,
     }))
     print(f"# {h}x{w} input, tile={args.tile} overlap={args.overlap} "
           f"batch={args.batch} dtype={args.dtype} best={dt:.3f}s "
@@ -178,6 +194,8 @@ def bench_gan_sr_jpeg_batch(args):
     the serving path (the reference's closest contract is the SwinIR-GAN
     real-SR service; model here is the nearest+conv-head SwinIR)."""
     import io as _io
+
+    enable_compile_cache()
 
     import jax
     import jax.numpy as jnp
@@ -236,29 +254,40 @@ def bench_gan_sr_jpeg_batch(args):
     print(json.dumps({
         "metric": "megapixels_per_sec_gan_sr_jpeg_batch",
         "value": round(value, 4), "unit": "MP/s",
-        "vs_baseline": round(value / REF_A100_MP_PER_S, 3)}))
+        # no comparable published number for the lightweight GAN-SR
+        # decode+tile pipeline; the A100 estimate covers SwinIR-M only
+        "vs_baseline": None}))
     print(f"# {n_imgs}x{size}x{size} JPEG q40 batch, decode+SRx4, "
           f"best={dt:.3f}s", file=sys.stderr)
 
 
-def bench_agent_p50(args):
+def bench_agent_p50(args, fast: bool = True):
     """BASELINE config #5: p50 end-to-end agent restore latency
-    (classifier -> plan -> chained tools) on hermetic tiny models."""
+    (classifier -> plan -> chained tools).
+
+    ``fast=True``: hermetic tiny models on 192px inputs (CI-runnable).
+    ``fast=False``: the REAL zoo at full registry sizes (random-init —
+    latency does not need converted weights) on a 512px input; this is the
+    honest BASELINE #5 number (reference: the per-tool seconds-to-minutes
+    subprocess chain, AgenticIR/executor/tool.py:40-49).
+    """
     import tempfile
     from pathlib import Path
 
+    enable_compile_cache()
     from image_restoration_agent_tpu.agent import (IRAgent,
                                                    build_default_executor)
     from image_restoration_agent_tpu.core.io import save_image
 
+    size = 192 if fast else 512
     rng = np.random.default_rng(0)
     times = []
-    ex = build_default_executor(fast=True)
+    ex = build_default_executor(fast=fast)
     warmup = 2  # shape-bucket compiles amortize across a serving lifetime
     n_runs = max(args.repeats, 5) + warmup
     with tempfile.TemporaryDirectory() as td:
         for i in range(n_runs):
-            img = rng.random((192, 192, 3), dtype=np.float32) * 0.6
+            img = rng.random((size, size, 3), dtype=np.float32) * 0.6
             inp = Path(td) / f"in_{i}.png"
             save_image(img, inp)
             t0 = time.perf_counter()
@@ -269,11 +298,47 @@ def bench_agent_p50(args):
                 times.append(time.perf_counter() - t0)
     p50 = sorted(times)[len(times) // 2]
     print(json.dumps({
-        "metric": "agent_restore_latency_p50",
+        "metric": "agent_restore_latency_p50" + ("" if fast
+                                                 else "_fullsize"),
         "value": round(p50, 3), "unit": "s",
-        "vs_baseline": 0.0}))
-    print(f"# n={len(times)} timed (+{warmup} warmup), tiny models, "
-          f"min={min(times):.2f}s max={max(times):.2f}s", file=sys.stderr)
+        "vs_baseline": None}))
+    print(f"# n={len(times)} timed (+{warmup} warmup), "
+          f"{'tiny models' if fast else 'full-size zoo (random init)'}, "
+          f"{size}px input, min={min(times):.2f}s max={max(times):.2f}s",
+          file=sys.stderr)
+
+
+def bench_diffbir(args):
+    """DiffBIR serving preset: seconds/image for the heaviest tool (50-step
+    spaced sampler x tiles; reference
+    AgentApp/model_service/super_resolution/DiffBIR/model_serving.py:77-131).
+    Random-init weights — sampler latency is weight-independent."""
+    enable_compile_cache()
+    import jax
+
+    from image_restoration_agent_tpu.engine import Engine
+
+    size = int(args.size.split("x")[1]) if "x" in args.size else 256
+    size = min(size, 512)
+    eng = Engine(allow_random_init=True)
+    rng = np.random.default_rng(0)
+    img = rng.random((size, size, 3), dtype=np.float32)
+    # warmup/compile
+    out = eng.restore_array(img, "diffbir")
+    times = []
+    for _ in range(max(args.repeats, 3)):
+        t0 = time.perf_counter()
+        out = eng.restore_array(img, "diffbir")
+        times.append(time.perf_counter() - t0)
+    del out
+    dt = min(times)
+    print(json.dumps({
+        "metric": "diffbir_seconds_per_image",
+        "value": round(dt, 3), "unit": f"s@{size}px",
+        "vs_baseline": None}))
+    print(f"# DiffBIR 50-step sampler, {size}px input, "
+          f"best={dt:.2f}s device={jax.devices()[0].platform}",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":
