@@ -84,6 +84,15 @@ def main(argv=None):
     pvw.add_argument("--models", default=None,
                      help="comma-separated subset of manifest models")
 
+    pab = sub.add_parser(
+        "ablation-grid",
+        help="run the retrieval/reflection/rollback ablation grid "
+             "(the reference's compare_methods analysis artifact)")
+    pab.add_argument("--work-dir", default="ablation_work")
+    pab.add_argument("--combos", type=int, default=4)
+    pab.add_argument("--images-per-combo", type=int, default=1)
+    pab.add_argument("--fast", action="store_true", default=True)
+
     pv = sub.add_parser("eval-suite",
                         help="run the 16-combo agent benchmark")
     pv.add_argument("--work-dir", default="eval_suite_work")
@@ -168,6 +177,18 @@ def main(argv=None):
         store.save(store_path)
         print(json.dumps({"inserted": n, "total": len(store),
                           "store": str(store_path)}))
+    elif args.cmd == "ablation-grid":
+        from .offline.benchmark_suite import ALL_COMBOS
+        from .offline.eval_harness import run_ablation_grid
+
+        grid = run_ablation_grid(Path(args.work_dir),
+                                 combos=ALL_COMBOS[: args.combos],
+                                 images_per_combo=args.images_per_combo,
+                                 fast=args.fast)
+        print(json.dumps({"variants": grid["variants"],
+                          "pairs": grid["pairs"],
+                          "report": str(Path(args.work_dir)
+                                        / "ablation_grid.md")}))
     elif args.cmd == "validate-weights":
         from .offline.validate_weights import validate
 

@@ -66,8 +66,13 @@ def run_suite(
     executor=None,
     fast: bool = True,
     seed: int = 0,
+    agent_kwargs: Optional[dict] = None,
 ) -> dict:
-    """Run the agent across combos; returns scores + plans per task."""
+    """Run the agent across combos; returns scores + plans per task.
+
+    ``agent_kwargs`` forwards IRAgent flags (with_retrieval /
+    with_reflection / with_rollback) — the ablation-grid axes.
+    """
     work_dir = Path(work_dir)
     combos = combos if combos is not None else ALL_COMBOS
     executor = executor or build_default_executor(fast=fast)
@@ -88,7 +93,7 @@ def run_suite(
             save_image(lq.astype(np.float32) / 255, case_dir / "lq.png")
 
             agent = IRAgent(case_dir / "lq.png", case_dir / "runs",
-                            executor=executor)
+                            executor=executor, **(agent_kwargs or {}))
             result = agent.run()
             out = to_float(load_image(result))
             hq_f = hq.astype(np.float32) / 255

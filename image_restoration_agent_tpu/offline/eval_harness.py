@@ -76,3 +76,98 @@ def compare_methods(method_scores: dict[str, dict],
                 lines.append(
                     f"- {a} beats {b} on {wins}/{len(shared)} images")
     return "\n".join(lines)
+
+
+# ---------------- ablation grids ----------------
+
+#: flag combos under the reference's naming scheme
+#: (eval/compare_methods.py:317-341 — 'wo' = without; retr/ref/rb =
+#: retrieval / reflection / rollback)
+ABLATION_VARIANTS: dict[str, dict] = {
+    "default": {},
+    "woretr": {"with_retrieval": False},
+    "worb": {"with_rollback": False},
+    "woref_worb": {"with_reflection": False, "with_rollback": False},
+    "woretr_worb": {"with_retrieval": False, "with_rollback": False},
+    "woretr_woref_worb": {"with_retrieval": False,
+                          "with_reflection": False,
+                          "with_rollback": False},
+}
+
+#: the reference's paired comparisons, one ablated dimension each
+ABLATION_PAIRS = [
+    ("rollback", "default", "worb"),
+    ("rollback", "woretr", "woretr_worb"),
+    ("reflection", "worb", "woref_worb"),
+    ("reflection", "woretr_worb", "woretr_woref_worb"),
+    ("retrieval", "default", "woretr"),
+    ("retrieval", "worb", "woretr_worb"),
+    ("retrieval", "woref_worb", "woretr_woref_worb"),
+]
+
+
+def run_ablation_grid(work_dir: Path, combos=None, images_per_combo: int = 1,
+                      fast: bool = True, executor=None,
+                      variants: Optional[dict] = None) -> dict:
+    """Run the agent benchmark under every ablation variant and emit the
+    reference's headline analysis artifact: a variant grid + per-dimension
+    paired comparisons (eval/compare_methods.py:308-341).
+    """
+    from ..agent import build_default_executor
+    from .benchmark_suite import run_suite
+
+    work_dir = Path(work_dir)
+    variants = variants if variants is not None else ABLATION_VARIANTS
+    executor = executor or build_default_executor(fast=fast)
+    reports: dict[str, dict] = {}
+    for name, kwargs in variants.items():
+        reports[name] = run_suite(
+            work_dir / name, combos=combos,
+            images_per_combo=images_per_combo, executor=executor,
+            fast=fast, agent_kwargs=kwargs)
+
+    lines = ["# Ablation grid", "",
+             "| variant | retrieval | reflection | rollback | "
+             "PSNR out | dPSNR | SSIM out |",
+             "|---|---|---|---|---|---|---|"]
+    for name in variants:
+        kw = variants[name]
+        recs = reports[name]["records"]
+        dp = float(np.mean([r["output_psnr"] - r["input_psnr"]
+                            for r in recs]))
+        ss = float(np.mean([r["output_ssim"] for r in recs]))
+        lines.append(
+            f"| {name} "
+            f"| {'x' if kw.get('with_retrieval', True) else '-'} "
+            f"| {'x' if kw.get('with_reflection', True) else '-'} "
+            f"| {'x' if kw.get('with_rollback', True) else '-'} "
+            f"| {reports[name]['mean_output_psnr']:.3f} | {dp:+.3f} "
+            f"| {ss:.4f} |")
+
+    lines += ["", "## Paired comparisons (ablated dimension)", ""]
+    pair_stats = []
+    for dim, a, b in ABLATION_PAIRS:
+        if a not in reports or b not in reports:
+            continue
+        ra = reports[a]["records"]
+        rb = reports[b]["records"]
+        wins = sum(x["output_psnr"] > y["output_psnr"]
+                   for x, y in zip(ra, rb))
+        delta = reports[a]["mean_output_psnr"] - \
+            reports[b]["mean_output_psnr"]
+        pair_stats.append({"dim": dim, "with": a, "without": b,
+                           "delta_psnr": round(delta, 3),
+                           "wins": wins, "n": len(ra)})
+        lines.append(f"- **{dim}**: {a} vs {b}: dPSNR {delta:+.3f}, "
+                     f"wins {wins}/{len(ra)}")
+
+    grid = {"variants": {n: {"mean_output_psnr":
+                             reports[n]["mean_output_psnr"],
+                             "mean_input_psnr":
+                             reports[n]["mean_input_psnr"]}
+                         for n in reports},
+            "pairs": pair_stats}
+    work_dir.mkdir(parents=True, exist_ok=True)
+    (work_dir / "ablation_grid.md").write_text("\n".join(lines) + "\n")
+    (work_dir / "ablation_grid.json").write_text(json.dumps(grid, indent=2))
+    return grid

@@ -92,3 +92,26 @@ class TestEvalHarness:
         assert sa["mean"]["psnr"] > sb["mean"]["psnr"]
         table = compare_methods({"a": sa, "b": sb})
         assert "a beats b on 3/3 images" in table
+
+
+@pytest.mark.slow
+class TestAblationGrid:
+    def test_grid_runs_and_reports(self, tmp_path):
+        """Two-variant rollback ablation on one combo: the grid artifact
+        (reference compare_methods.py:308-341) gets written with paired
+        stats."""
+        from image_restoration_agent_tpu.offline.eval_harness import (
+            run_ablation_grid)
+
+        grid = run_ablation_grid(
+            tmp_path, combos=["dark + noise"], images_per_combo=1,
+            fast=True,
+            variants={"default": {}, "worb": {"with_rollback": False}})
+        assert set(grid["variants"]) == {"default", "worb"}
+        assert grid["pairs"] and grid["pairs"][0]["dim"] == "rollback"
+        assert (tmp_path / "ablation_grid.md").exists()
+        md = (tmp_path / "ablation_grid.md").read_text()
+        assert "| default |" in md and "rollback" in md
+        import json as _json
+        gj = _json.loads((tmp_path / "ablation_grid.json").read_text())
+        assert gj["pairs"][0]["n"] == 1
