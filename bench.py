@@ -44,8 +44,10 @@ def enable_compile_cache() -> None:
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--tile", type=int, default=256,
-                   help="tile size; 0 = whole-image (untiled) forward")
+    p.add_argument("--tile", type=int, default=0,
+                   help="tile size; 0 = whole-canvas full-width row bands "
+                        "(default: measured 1.242 vs 1.015 MP/s tiled-256 "
+                        "on the 2K x4 headline)")
     p.add_argument("--overlap", type=int, default=32)
     p.add_argument("--batch", type=int, default=None,
                    help="tile batch; default picks the zero-pad-waste size")
@@ -67,7 +69,7 @@ def main() -> None:
     elif args.config == "restormer_720p":
         args.model, args.size, args.tile = "restormer", "1280x720", 256
     elif args.config == "swinir_2k_sr":
-        args.model, args.size, args.tile = "swinir_sr_x4", "1920x1080", 256
+        args.model, args.size, args.tile = "swinir_sr_x4", "1920x1080", 0
     elif args.config == "gan_sr_jpeg_batch":
         return bench_gan_sr_jpeg_batch(args)
     elif args.config == "agent_p50":

@@ -100,18 +100,38 @@ class HAB(nn.Module):
         conv_x = ChannelAttentionConv(self.dim, self.compress_ratio,
                                       self.squeeze_factor,
                                       name="conv_block")(n1)
-        y = x
-        if shift > 0:
-            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-        mask_np = shift_attention_mask(h, w, ws, shift)
-        mask = None if mask_np is None else jnp.asarray(mask_np)
-        yw = window_partition(y, ws).reshape(-1, ws * ws, c)
-        yw = WindowAttentionLayer(self.dim, ws, self.num_heads,
-                                  attention_impl=self.attention_impl,
-                                  name="attn")(yw, mask)
-        y = window_reverse(yw.reshape(-1, ws, ws, c), ws, h, w)
-        if shift > 0:
-            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+
+        from ..models.swinir import _pallas_supported, _resolve_impl
+        from ..ops.pallas_attention import roll2d_pallas, strip_chunk_width
+
+        impl = _resolve_impl(self.attention_impl)
+        strip = (impl == "pallas_block" and h % ws == 0 and w % ws == 0
+                 and _pallas_supported(ws, b * h * w)
+                 and (w <= 384 or strip_chunk_width(w, ws) is not None))
+        attn = WindowAttentionLayer(self.dim, ws, self.num_heads,
+                                    attention_impl=impl, name="attn")
+        if strip:
+            # strip kernel with the roll folded into its reads (no
+            # partition/reverse HBM copies, one roll instead of two);
+            # no fused MLP — the CAB branch adds in between
+            bank = None
+            if shift > 0:
+                bank_np = shift_attention_mask(2 * ws, 2 * ws, ws, shift)
+                bank = jnp.asarray(bank_np.reshape(2, 2, ws * ws, ws * ws))
+            y = attn(x, None, dc=-shift, mask_bank=bank)
+            if shift > 0:
+                y = roll2d_pallas(y, shift, ws=ws)
+        else:
+            y = x
+            if shift > 0:
+                y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            mask_np = shift_attention_mask(h, w, ws, shift)
+            mask = None if mask_np is None else jnp.asarray(mask_np)
+            yw = window_partition(y, ws).reshape(-1, ws * ws, c)
+            yw = attn(yw, mask)
+            y = window_reverse(yw.reshape(-1, ws, ws, c), ws, h, w)
+            if shift > 0:
+                y = jnp.roll(y, (shift, shift), axis=(1, 2))
         x = y + conv_x * self.conv_scale
 
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)

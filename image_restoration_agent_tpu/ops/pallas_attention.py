@@ -798,7 +798,11 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         nsteps = b * steps_per_img
         npair = rrows * (nwin_c // 2)
         twin = rrows * nwin_c
-        chunk = max(cc for cc in range(1, min(chunk_pref, npair) + 1)
+        # cap the softmax batch so the lg/p scratches stay ~<=40MB of VMEM
+        # (matters at ws=16: HAT's windows make m=512, heads*m=3072)
+        vmem_cap = max(1, int(40e6 // (m * num_heads * m * 6)))
+        chunk = max(cc for cc in
+                    range(1, min(chunk_pref, npair, vmem_cap) + 1)
                     if npair % cc == 0)
         if g2 == "rolled":
             # one pair per chunk measured FASTER than chunked softmax

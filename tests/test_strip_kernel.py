@@ -366,6 +366,49 @@ class TestChunkedGrid:
         assert strip_chunk_width(wp) is not None
 
 
+class TestHATStripPath:
+    def test_hat_pallas_block_matches_xla(self, rng):
+        """HAT's HAB attention branch through the strip kernel (folded
+        roll + edge bank + roll2d back, CAB added outside) == XLA path."""
+        import functools
+
+        import jax
+
+        from image_restoration_agent_tpu.models import build_model
+        from image_restoration_agent_tpu.models import swinir as sw
+        from image_restoration_agent_tpu.ops import pallas_attention as pa
+
+        orig = (sw.swin_strip_pallas, sw.wmsa_block_pallas,
+                sw.mlp_block_pallas)
+        import image_restoration_agent_tpu.models.hat as hat_mod
+        orig_roll = pa.roll2d_pallas
+        try:
+            sw.swin_strip_pallas = functools.partial(
+                pa.swin_strip_pallas, interpret=True)
+            sw.mlp_block_pallas = functools.partial(
+                pa.mlp_block_pallas, interpret=True)
+            sw.wmsa_block_pallas = functools.partial(
+                pa.wmsa_block_pallas, interpret=True)
+            pa.roll2d_pallas = functools.partial(
+                pa.roll2d_pallas, interpret=True)
+
+            # depth 2 so the second HAB actually shifts
+            m_x = build_model("hat_tiny", attention_impl="xla",
+                              depths=(2, 2), num_heads=(2, 2))
+            m_p = build_model("hat_tiny", attention_impl="pallas_block",
+                              depths=(2, 2), num_heads=(2, 2))
+            x = jnp.asarray(rng.random((1, 16, 24, 3), dtype=np.float32))
+            p = m_x.init(jax.random.PRNGKey(0), x)
+            out_x = m_x.apply(p, x)
+            out_p = m_p.apply(p, x)
+            np.testing.assert_allclose(np.asarray(out_p),
+                                       np.asarray(out_x), atol=2e-5)
+        finally:
+            (sw.swin_strip_pallas, sw.wmsa_block_pallas,
+             sw.mlp_block_pallas) = orig
+            pa.roll2d_pallas = orig_roll
+
+
 class TestPaired2Rolled:
     def test_paired2r_matches_stacked(self, rng):
         """attn_mode='paired2r' (fori_loop pair body, npair-independent
