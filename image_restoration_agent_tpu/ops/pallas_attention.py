@@ -356,7 +356,8 @@ def _strip_kernel(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
 
 def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
                          rrows=1, ccols=1, s0=0, g2=False, fuse_mlp=False,
-                         ablate="", interpret=False, eps=1e-5):
+                         ablate="", wnd="slab", fastmath=False,
+                         interpret=False, eps=1e-5):
     """Paired-window strip kernel: 2 windows per MXU dot group.
 
     Measured ~1.4x faster than the per-window 'stacked' design on v5e: the
@@ -432,24 +433,45 @@ def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
 
     for wg in range(twin):
         rr, wi = wg // nwin, wg % nwin
-        slab = rows[rr * ws:(rr + 1) * ws, wi * ws:(wi + 1) * ws, :]
-        xw_ref[wg * n:(wg + 1) * n, :] = slab.reshape(n, c)
+        if wnd == "rows":
+            # per-spatial-row 2D stores: each is an aligned (ws, C) tile
+            # move, no 3D reshape for Mosaic to lower
+            for r in range(ws):
+                xw_ref[wg * n + r * ws:wg * n + (r + 1) * ws, :] = \
+                    rows[rr * ws + r, wi * ws:(wi + 1) * ws, :]
+        else:
+            slab = rows[rr * ws:(rr + 1) * ws, wi * ws:(wi + 1) * ws, :]
+            xw_ref[wg * n:(wg + 1) * n, :] = slab.reshape(n, c)
 
+    if ablate == "nownd":  # perf probe: DMA + roll assembly only
+        out_ref[0, 0] = (rows.astype(jnp.float32) + 1.0) \
+            .astype(out_ref.dtype)
+        return
     if ablate == "minimal":  # perf probe: I/O + windowize only
         res = xw_ref[:].astype(jnp.float32) + 1.0
         res = res.astype(out_ref.dtype)
         for wg in range(twin):
             rr, wi = wg // nwin, wg % nwin
-            out_ref[0, 0, rr * ws:(rr + 1) * ws,
-                    wi * ws:(wi + 1) * ws, :] = \
-                res[wg * n:(wg + 1) * n, :].reshape(ws, ws, c)
+            if wnd == "rows":
+                for r in range(ws):
+                    out_ref[0, 0, rr * ws + r,
+                            wi * ws:(wi + 1) * ws, :] = \
+                        res[wg * n + r * ws:wg * n + (r + 1) * ws, :]
+            else:
+                out_ref[0, 0, rr * ws:(rr + 1) * ws,
+                        wi * ws:(wi + 1) * ws, :] = \
+                    res[wg * n:(wg + 1) * n, :].reshape(ws, ws, c)
         return
 
-    xf = xw_ref[:].astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
-    y = (xf - mu) * jax.lax.rsqrt(var + eps)
-    y = (y * lnw_ref[:][None, :] + lnb_ref[:][None, :]).astype(xw_ref.dtype)
+    if ablate == "noln":  # perf probe: skip LayerNorms (wrong numerics)
+        y = xw_ref[:]
+    else:
+        xf = xw_ref[:].astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + eps)
+        y = (y * lnw_ref[:][None, :]
+             + lnb_ref[:][None, :]).astype(xw_ref.dtype)
 
     for dst, w_ref, b_ref2 in ((q_ref, wq_ref, bq_ref),
                                (k_ref, wk_ref, bk_ref),
@@ -539,9 +561,16 @@ def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
         jax.lax.fori_loop(0, nchunk, chunk_body, 0)
         g2 = None  # skip the staged paths below
 
+    if ablate == "noattn":  # perf probe: dense-only (skip attention core)
+        attn_ref[:] = v_ref[:]
+        g2 = None
     if g2 is False and not interpret:
         kmv = km_ref.reshape(chunk, num_heads, m, c)
         vmv = vm_ref.reshape(chunk, num_heads, m, c)
+    # NOTE (measured dead end, v5e): batching the per-pair logit/AV dots
+    # into one 3D dot_general per head-group ("bdot") was byte-identical in
+    # runtime (14.79 vs 14.81 ms at 552x1920) — the small 2D dots are not
+    # the serialization bottleneck. Do not re-try.
     for p0 in ([] if g2 is None else range(0, npair, chunk)):
         cp_n = min(chunk, npair - p0)
         if g2:
@@ -566,6 +595,10 @@ def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
                     vm_ref[base + m:base + 2 * m, :hp] = zblk
                     vm_ref[base + m:base + 2 * m, hp:] = \
                         vp[:, h1 * hp:(h1 + 1) * hp]
+            if ablate == "asmonly":  # perf probe: km/vm assembly cost only
+                attn_ref[p0 * m:(p0 + cp_n) * m, :] = \
+                    v_ref[p0 * m:(p0 + cp_n) * m, :]
+                continue
             for pi in range(cp_n):
                 g = p0 + pi
                 rr = g // npair_row
@@ -611,12 +644,27 @@ def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
                     q2, km2, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) \
                     + bias_ref[0, rr, sel]
-        for h in range(num_heads):
-            blk = lg_ref[:cp_n * m, h * m:(h + 1) * m]
-            mx = jnp.max(blk, axis=1, keepdims=True)
-            e = jnp.exp(blk - mx)
-            p_ref[:cp_n * m, h * m:(h + 1) * m] = \
-                (e / jnp.sum(e, axis=1, keepdims=True)).astype(p_ref.dtype)
+        if ablate == "nosm":  # perf probe: skip softmax (wrong numerics)
+            p_ref[:cp_n * m, :] = lg_ref[:cp_n * m, :].astype(p_ref.dtype)
+        elif fastmath:
+            # softmax without max-subtraction: logits clamped at 60 (bias
+            # kills cross-window lanes at -1e9 -> exp underflows to 0);
+            # exact softmax whenever max logit < 60, which LN'd q/k with
+            # the 1/sqrt(hd) scale always satisfies in practice
+            e = jnp.exp(jnp.minimum(lg_ref[:cp_n * m, :], 60.0))
+            for h in range(num_heads):
+                blk = e[:, h * m:(h + 1) * m]
+                p_ref[:cp_n * m, h * m:(h + 1) * m] = \
+                    (blk / jnp.sum(blk, axis=1, keepdims=True)) \
+                    .astype(p_ref.dtype)
+        else:
+            for h in range(num_heads):
+                blk = lg_ref[:cp_n * m, h * m:(h + 1) * m]
+                mx = jnp.max(blk, axis=1, keepdims=True)
+                e = jnp.exp(blk - mx)
+                p_ref[:cp_n * m, h * m:(h + 1) * m] = \
+                    (e / jnp.sum(e, axis=1, keepdims=True)) \
+                    .astype(p_ref.dtype)
         if g2:
             for pi in range(cp_n):
                 g = p0 + pi
@@ -650,15 +698,27 @@ def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
         # MLP half-block fused in: LN2 -> fc1 -> exact-erf GELU -> fc2 ->
         # +residual on the attention output, still VMEM-resident (saves the
         # inter-half-block HBM round trip and a kernel launch per block)
-        mu2 = jnp.mean(res32, axis=-1, keepdims=True)
-        var2 = jnp.mean(jnp.square(res32 - mu2), axis=-1, keepdims=True)
-        y2 = (res32 - mu2) * jax.lax.rsqrt(var2 + eps)
-        y2 = (y2 * ln2w_ref[:][None, :]
-              + ln2b_ref[:][None, :]).astype(out_ref.dtype)
+        if ablate == "noln":
+            y2 = res32.astype(out_ref.dtype)
+        else:
+            mu2 = jnp.mean(res32, axis=-1, keepdims=True)
+            var2 = jnp.mean(jnp.square(res32 - mu2), axis=-1, keepdims=True)
+            y2 = (res32 - mu2) * jax.lax.rsqrt(var2 + eps)
+            y2 = (y2 * ln2w_ref[:][None, :]
+                  + ln2b_ref[:][None, :]).astype(out_ref.dtype)
         hdn = jax.lax.dot_general(
             y2, w1_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) + b1_ref[:][None, :]
-        hdn = 0.5 * hdn * (1.0 + _erf_approx(hdn * (2.0 ** -0.5)))
+        if fastmath:
+            # tanh-approx GELU: measured free vs ~2.2 ms for exact-erf at
+            # 552x1920 band; max abs error ~3e-3 = below bf16 rounding of
+            # O(1) activations, so only enabled on the bf16 serving path
+            hdn = 0.5 * hdn * (1.0 + jnp.tanh(
+                0.7978845608 * (hdn + 0.044715 * hdn * hdn * hdn)))
+        elif ablate == "gelusig":  # perf probe: sigmoid-approx GELU
+            hdn = hdn * jax.lax.logistic(1.702 * hdn)
+        elif ablate != "nogelu":  # nogelu: skip activation
+            hdn = 0.5 * hdn * (1.0 + _erf_approx(hdn * (2.0 ** -0.5)))
         hdn = hdn.astype(out_ref.dtype)
         o2 = jax.lax.dot_general(
             hdn, w2_ref[:], (((1,), (0,)), ((), ())),
@@ -668,8 +728,14 @@ def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
     res = res32.astype(out_ref.dtype)
     for wg in range(twin):
         rr, wi = wg // nwin, wg % nwin
-        out_ref[0, 0, rr * ws:(rr + 1) * ws, wi * ws:(wi + 1) * ws, :] = \
-            res[wg * n:(wg + 1) * n, :].reshape(ws, ws, c)
+        if wnd == "rows":
+            for r in range(ws):
+                out_ref[0, 0, rr * ws + r, wi * ws:(wi + 1) * ws, :] = \
+                    res[wg * n + r * ws:wg * n + (r + 1) * ws, :]
+        else:
+            out_ref[0, 0, rr * ws:(rr + 1) * ws,
+                    wi * ws:(wi + 1) * ws, :] = \
+                res[wg * n:(wg + 1) * n, :].reshape(ws, ws, c)
 
 
 def _paired_bias(rpb, mask_bank, num_heads, n):
@@ -724,7 +790,8 @@ def pad_width_for_strips(w: int, ws: int = 8) -> int:
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "ws", "dc",
                                              "attn_mode", "rrows_pref",
-                                             "chunk_pref", "ablate",
+                                             "chunk_pref", "ablate", "wnd",
+                                             "fastmath",
                                              "wchunk_override", "interpret"))
 def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                       rpb, mask=None, num_heads: int = 6, ws: int = 8,
@@ -732,7 +799,9 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                       attn_mode: str = "paired2",
                       mlp=None,
                       rrows_pref: int = 1, chunk_pref: int = 16,
-                      ablate: str = "", wchunk_override: int | None = None,
+                      ablate: str = "", wnd: str = "slab",
+                      fastmath: bool = False,
+                      wchunk_override: int | None = None,
                       interpret: bool = False):
     """Fused Swin attention half-block over (B, H, W, C) directly, with an
     optional folded cyclic roll.
@@ -921,7 +990,8 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
             _strip_kernel_paired, num_heads=num_heads, head_dim=hd,
             nwin=nwin_c, ws=ws, dc=dc, chunk=chunk, rrows=rrows,
             ccols=ccols, s0=s0, g2=g2,
-            fuse_mlp=mlp is not None, ablate=ablate, interpret=interpret)
+            fuse_mlp=mlp is not None, ablate=ablate, wnd=wnd,
+            fastmath=fastmath, interpret=interpret)
         mlp_specs, mlp_args = [], []
         if mlp is not None:
             ln2w, ln2b, w1, b1, w2, b2 = mlp
@@ -964,7 +1034,12 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                 pltpu.VMEM((chunk * m, num_heads * m), x.dtype),      # p
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=100 * 1024 * 1024,
+                # grid steps are independent: lets Mosaic overlap each
+                # step's DMA with neighboring steps' compute (measured:
+                # without this the strip DMA (~6ms/MP) serializes after
+                # compute instead of hiding under it)
+                dimension_semantics=("parallel",) * len(grid)),
             interpret=interpret,
         )(*([xg] * len(in_maps)),
           ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),

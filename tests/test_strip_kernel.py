@@ -236,6 +236,26 @@ class TestFusedMlp:
                                    atol=3e-5)
 
 
+class TestFastmath:
+    def test_fastmath_close_to_exact(self, rng):
+        """fastmath (tanh-GELU + clamp-softmax, the bf16 serving default)
+        must track the exact kernel within the GELU-approx error envelope;
+        guards the flag threading through the paired body + fused MLP."""
+        x, ps = _strip_args(rng, 4 * WS, 4 * WS)
+        mlp = TestFusedMlp._mlp_params(TestFusedMlp(), rng)
+        exact = swin_strip_pallas(
+            x, *ps, None, num_heads=HEADS, ws=WS, mask_bank=_bank(),
+            dc=-S, attn_mode="paired2", mlp=mlp, interpret=True)
+        fast = swin_strip_pallas(
+            x, *ps, None, num_heads=HEADS, ws=WS, mask_bank=_bank(),
+            dc=-S, attn_mode="paired2", mlp=mlp, fastmath=True,
+            interpret=True)
+        diff = np.abs(np.asarray(exact) - np.asarray(fast))
+        assert diff.max() < 5e-2  # tanh-GELU approx, amplified by fc2
+        # mean error stays far below bf16 resolution of O(1) activations
+        assert diff.mean() < 2e-3
+
+
 class TestPerHeadMode:
     def test_perhead_matches_stacked(self, rng):
         """attn_mode='perhead' (32-padded per-head dots via reordered
