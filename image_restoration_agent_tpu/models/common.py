@@ -9,24 +9,151 @@ reshaped to (kh, kw, 1, C).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
+from ..ops.conv3x3 import (conv3x3_pallas, conv3x3_supported,
+                           conv_after_shuffle_weights)
 from ..ops.layernorm import layer_norm_2d, layer_norm_bias_free, layer_norm_with_bias
+from ..ops.pixel_shuffle import pixel_shuffle
+
+# Dispatch mode for the fused 3x3 strip kernel (ops/conv3x3.py):
+# "auto" = Pallas on TPU when the shape qualifies, XLA otherwise;
+# "off" = always XLA; "interpret" = Pallas in interpret mode on any
+# backend (tests only). Explicit setter, not an env var, so the choice
+# is visible in code and can't silently diverge across jit caches.
+_CONV3X3_MODE = "auto"
+
+
+def set_conv3x3_mode(mode: str) -> None:
+    global _CONV3X3_MODE
+    assert mode in ("auto", "off", "interpret"), mode
+    _CONV3X3_MODE = mode
+
+
+class _FastConv3x3(nn.Module):
+    """Param-compatible stand-in for Conv's inner nn.Conv (same child name
+    "Conv_0", param names "kernel"/"bias") that runs conv3x3_pallas with
+    fused bias/activation/pixel-shuffle."""
+
+    features: int
+    use_bias: bool
+    act: str | None
+    shuffle: int
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, cin, self.features))
+        b = (self.param("bias", nn.initializers.zeros, (self.features,))
+             if self.use_bias else None)
+        return conv3x3_pallas(x, w, b, act=self.act, shuffle=self.shuffle,
+                              interpret=self.interpret)
+
+
+class _ConvAfterShuffleInner(nn.Module):
+    """Param-compatible with Conv's inner nn.Conv ("kernel"/"bias" of the
+    post-shuffle conv); computes pixel_shuffle(x, r) -> conv3x3 either
+    directly (fallback) or in plane space via conv_after_shuffle_weights
+    (fast path: r^2 fewer MXU rows and the r*H x r*W pre-conv intermediate
+    never hits HBM)."""
+
+    features: int
+    r: int
+    act: str | None
+    fast: bool
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        r = self.r
+        cin = x.shape[-1] // (r * r)
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, cin, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.fast:
+            wp = conv_after_shuffle_weights(w, r)
+            bp = jnp.repeat(b, r * r)
+            y = conv3x3_pallas(x, wp, bp, act=self.act,
+                               interpret=self.interpret)
+            return pixel_shuffle(y, r)
+        y = pixel_shuffle(x, r)
+        y = jax.lax.conv_general_dilated(
+            y, w.astype(y.dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y + b.astype(y.dtype)[None, None, None, :]
+        if self.act == "lrelu":
+            y = nn.leaky_relu(y, negative_slope=0.01)
+        elif self.act == "lrelu2":
+            y = nn.leaky_relu(y, negative_slope=0.2)
+        return y
+
+
+class ConvAfterShuffle(nn.Module):
+    """pixel_shuffle(x, r) followed by a 3x3 conv (torch SAME semantics).
+
+    Drop-in for ``pixel_shuffle + Conv`` at the end of pixel-shuffle
+    upsample heads; the param tree matches Conv's ("Conv_0" child with the
+    post-shuffle conv's kernel/bias shapes), so weight converters are
+    unaffected by the plane-space optimization.
+    """
+
+    features: int
+    r: int
+    act: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        mode = _CONV3X3_MODE
+        bsz, h, wd, cpre = x.shape
+        fast = (
+            mode != "off" and x.ndim == 4
+            and (mode == "interpret" or jax.default_backend() == "tpu")
+            and conv3x3_supported(h, wd, cpre, self.features * self.r ** 2)
+        )
+        return _ConvAfterShuffleInner(
+            self.features, self.r, self.act, fast,
+            interpret=(mode == "interpret"), name="Conv_0")(x)
 
 
 class Conv(nn.Module):
-    """Conv2d with explicit symmetric zero padding (torch semantics)."""
+    """Conv2d with explicit symmetric zero padding (torch semantics).
+
+    act/shuffle are fused epilogues: act in {None, "lrelu" (slope .01),
+    "lrelu2" (slope .2)}; shuffle r > 1 appends pixel_shuffle(y, r). On TPU,
+    3x3/stride-1/ungrouped convs at qualifying shapes run the strip-matmul
+    Pallas kernel (measured ~5x over XLA's TPU conv at serving shapes);
+    everything else takes the XLA path with the same epilogues applied
+    unfused, so call sites are backend-independent.
+    """
 
     features: int
     kernel: int = 3
     stride: int = 1
     use_bias: bool = True
     groups: int = 1
+    act: str | None = None
+    shuffle: int = 1
 
     @nn.compact
     def __call__(self, x):
+        mode = _CONV3X3_MODE
+        fast = (
+            mode != "off"
+            and self.kernel == 3 and self.stride == 1 and self.groups == 1
+            and x.ndim == 4
+            and (mode == "interpret" or jax.default_backend() == "tpu")
+            and conv3x3_supported(x.shape[1], x.shape[2], x.shape[3],
+                                  self.features, self.shuffle)
+        )
+        if fast:
+            return _FastConv3x3(
+                self.features, self.use_bias, self.act, self.shuffle,
+                interpret=(mode == "interpret"), name="Conv_0")(x)
         p = (self.kernel - 1) // 2
-        return nn.Conv(
+        y = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
@@ -34,6 +161,13 @@ class Conv(nn.Module):
             use_bias=self.use_bias,
             feature_group_count=self.groups,
         )(x)
+        if self.act == "lrelu":
+            y = nn.leaky_relu(y, negative_slope=0.01)
+        elif self.act == "lrelu2":
+            y = nn.leaky_relu(y, negative_slope=0.2)
+        if self.shuffle > 1:
+            y = pixel_shuffle(y, self.shuffle)
+        return y
 
 
 class DWConv(nn.Module):

@@ -34,7 +34,7 @@ from ..ops.window_attention import (
     window_partition,
     window_reverse,
 )
-from .common import Conv
+from .common import Conv, ConvAfterShuffle
 from .registry import ModelSpec, register_model
 
 RGB_MEAN = (0.4488, 0.4371, 0.4040)  # DIV2K mean (network_swinir.py:716)
@@ -305,37 +305,45 @@ class SwinIR(nn.Module):
         y = Conv(self.embed_dim, kernel=3, name="conv_after_body")(y) + feat
 
         if self.upsampler == "pixelshuffle":
-            y = Conv(self.num_feat, kernel=3, name="conv_before_upsample")(y)
-            y = nn.leaky_relu(y, negative_slope=0.01)
+            y = Conv(self.num_feat, kernel=3, act="lrelu",
+                     name="conv_before_upsample")(y)
             s = self.upscale
             stage = 0
+            last_r = 1
             while s > 1:
                 r = 3 if s % 3 == 0 else 2
-                y = Conv(self.num_feat * r * r, kernel=3, name=f"upsample{stage}")(y)
-                y = pixel_shuffle(y, r)
                 s //= r
+                # the final stage's shuffle fuses into conv_last (plane
+                # space), so its upsample conv emits pre-shuffle channels
+                y = Conv(self.num_feat * r * r, kernel=3,
+                         shuffle=1 if s == 1 else r,
+                         name=f"upsample{stage}")(y)
+                last_r = r
                 stage += 1
-            y = Conv(self.img_channels, kernel=3, name="conv_last")(y)
+            if last_r > 1:
+                y = ConvAfterShuffle(self.img_channels, last_r,
+                                     name="conv_last")(y)
+            else:
+                y = Conv(self.img_channels, kernel=3, name="conv_last")(y)
         elif self.upsampler == "pixelshuffledirect":
             y = Conv(self.img_channels * self.upscale ** 2, kernel=3,
-                     name="upsample_direct")(y)
-            y = pixel_shuffle(y, self.upscale)
+                     shuffle=self.upscale, name="upsample_direct")(y)
         elif self.upsampler == "nearest+conv":
             # Real-SR / DiffBIR stage-1 head: nearest x2 + conv (+lrelu)
             # stages, then conv_hr + conv_last.
-            y = Conv(self.num_feat, kernel=3, name="conv_before_upsample")(y)
-            y = nn.leaky_relu(y, negative_slope=0.01)
+            y = Conv(self.num_feat, kernel=3, act="lrelu",
+                     name="conv_before_upsample")(y)
             s, stage = self.upscale, 0
             while s > 1:
                 b, hh, ww, cc = y.shape
                 y = jax.image.resize(y, (b, 2 * hh, 2 * ww, cc),
                                      method="nearest")
-                y = Conv(self.num_feat, kernel=3, name=f"conv_up{stage}")(y)
-                y = nn.leaky_relu(y, negative_slope=0.2)
+                y = Conv(self.num_feat, kernel=3, act="lrelu2",
+                         name=f"conv_up{stage}")(y)
                 s //= 2
                 stage += 1
-            y = Conv(self.num_feat, kernel=3, name="conv_hr")(y)
-            y = nn.leaky_relu(y, negative_slope=0.2)
+            y = Conv(self.num_feat, kernel=3, act="lrelu2",
+                     name="conv_hr")(y)
             y = Conv(self.img_channels, kernel=3, name="conv_last")(y)
         else:  # denoising / JPEG artifact removal: global residual
             y = Conv(self.img_channels, kernel=3, name="conv_last")(y) + x

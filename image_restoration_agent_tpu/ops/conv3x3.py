@@ -1,0 +1,249 @@
+"""Fused 3x3 convolution as row-strip MXU matmuls (Pallas, TPU).
+
+Why: XLA's spatial convolution on TPU runs these restoration workloads far
+off roofline — measured 14.8 ms for a 552x1920x180 SAME conv whose roofline
+(read 365 MB + write 365 MB, 0.62 TFLOP) is ~3 ms, and 62.8 ms for the x4
+head's final 2208x7680 64->3 conv (~5 ms roofline). Reference contract being
+beaten: the KAIR SwinIR network served per tile by
+AgentApp/model_service/denoising/SwinIR/model_serving.py:148-166.
+
+Design: the canvas is processed on a (batch, row-strip, column-chunk) grid.
+Each step computes an (R, CC) block of the output as 9 shifted
+(R*CC, Cin) @ (Cin, Cout) dots accumulated in f32:
+
+- halos come from six clamped-index side refs (1-row top/bottom bands and
+  8-column left/right strips, 3x3 combinations with the center block), so
+  the input is read once from HBM with no XLA slice copies and no im2col
+  amplification; clamped edge blocks are zeroed in-kernel, reproducing SAME
+  zero padding exactly,
+- column chunking (CC <= ~1920) bounds the unrolled 9-tap loop's live
+  slabs: at full 7680-wide canvases Mosaic's register allocator needs 146MB
+  of spill slots and compilation fails,
+- optional fused bias and LeakyReLU epilogues; pixel-shuffle is applied
+  as an XLA op on the kernel output (see conv3x3_pallas docstring for why
+  it cannot fuse in-kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _conv3_kernel(tl, tc, tr, ml, mc, mr, bl, bc, br, w_ref, b_ref,
+                  out_ref, *, rrows, width, cout, act, nsteps, nchunks):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    cin = tc.shape[-1]
+
+    def band(l_ref, c_ref, r_ref, nrows):
+        zero = jnp.zeros((nrows, 1, cin), c_ref.dtype)
+        left = jnp.where(j == 0, zero, l_ref[0][:, 7:8, :])
+        right = jnp.where(j == nchunks - 1, zero, r_ref[0][:, 0:1, :])
+        return jnp.concatenate([left, c_ref[0], right], axis=1)
+
+    zrow = jnp.zeros((1, width + 2, cin), tc.dtype)
+    top = jnp.where(i == 0, zrow, band(tl, tc, tr, 1))
+    bot = jnp.where(i == nsteps - 1, zrow, band(bl, bc, br, 1))
+    xp = jnp.concatenate([top, band(ml, mc, mr, rrows), bot], axis=0)
+
+    # slab slicing stays inside the loop: hoisting all 9 shifted copies
+    # into a list materializes 9 x (R*CC, Cin) in VMEM at once and OOMs
+    # scoped vmem
+    acc = jnp.zeros((rrows * width, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            slab = xp[dy:dy + rrows, dx:dx + width, :] \
+                .reshape(rrows * width, cin)
+            acc = acc + jax.lax.dot_general(
+                slab, w_ref[dy, dx], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    if b_ref is not None:
+        acc = acc + b_ref[:][None, :].astype(jnp.float32)
+    if act == "lrelu":  # torch nn.LeakyReLU default slope
+        acc = jnp.where(acc >= 0, acc, 0.01 * acc)
+    elif act == "lrelu2":  # negative_slope=0.2 (ESRGAN-style heads)
+        acc = jnp.where(acc >= 0, acc, 0.2 * acc)
+    out_ref[0] = acc.astype(out_ref.dtype).reshape(rrows, width, cout)
+
+
+_VMEM_BUDGET = 96 * 1024 * 1024
+_MAX_CHUNK = 1920
+
+
+def _strip_vmem(r, w, cin, cout):
+    """Scoped-VMEM estimate for one grid step: double-buffered input blocks
+    (center + halo strips), the concatenated copy, the f32 accumulator, the
+    weights, and the double-buffered output block."""
+    inputs = 2 * ((r + 2) * (w + 16) * cin * 2)   # blocks, x2 pipeline
+    scratch = 2 * ((r + 2) * (w + 2) * cin * 2)   # band + xp copies
+    acc = r * w * cout * 4
+    wts = 9 * cin * cout * 2
+    out = 2 * (r * w * cout * 2)
+    return inputs + scratch + acc + wts + out
+
+
+def _pick_grid(h, w, cin, cout):
+    """(rrows, col_chunk) or None. Column chunks are uniform (the wrapper
+    zero-pads the canvas width up to n_chunks * col_chunk when needed)."""
+    nch = -(-w // _MAX_CHUNK)
+    cc = -(-w // nch // 8) * 8
+    for r in (16, 8):
+        if h % r:
+            continue
+        if _strip_vmem(r, cc, cin, cout) <= _VMEM_BUDGET:
+            return r, cc
+    return None
+
+
+def conv3x3_supported(h: int, w: int, cin: int, cout: int,
+                     shuffle: int = 1) -> bool:
+    """Shapes the strip kernel handles with good MXU utilization."""
+    if h % 8 != 0 or w % 8 != 0 or w < 128:
+        return False
+    if shuffle > 1 and cout % (shuffle * shuffle) != 0:
+        return False
+    return _pick_grid(h, w, cin, cout) is not None
+
+
+@functools.partial(jax.jit, static_argnames=("act", "shuffle", "interpret",
+                                             "rrows"))
+def conv3x3_pallas(x, w, b=None, act: str | None = None, shuffle: int = 1,
+                   interpret: bool = False, rrows: int | None = None):
+    """SAME 3x3 conv (stride 1) with optional bias/activation/pixel-shuffle.
+
+    Args:
+        x: (B, H, W, Cin); H % 8 == 0, W % 8 == 0.
+        w: (3, 3, Cin, Cout) (flax nn.Conv layout).
+        b: optional (Cout,).
+        act: None | "lrelu" (slope .01) | "lrelu2" (slope .2).
+        shuffle: r >= 1; r > 1 applies pixel_shuffle(y, r) to the output.
+        rrows: override the auto-picked rows-per-strip (benchmarking).
+
+    Returns:
+        (B, H, W, Cout) or the shuffled shape above, dtype of x.
+
+    The pixel-shuffle epilogue runs as an XLA op on the kernel's output:
+    Mosaic cannot shape-cast the lane (channel) dimension, so neither the
+    grouped-channel interleave nor the (R*W, C) -> (R, W, co, r, r) reshape
+    lowers in-kernel (both were tried and failed in infer-vector-layout).
+    The conv itself — the compute-bound part — stays in the kernel.
+    """
+    bsz, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    picked = _pick_grid(h, wd, cin, cout)
+    assert picked is not None, (h, wd, cin, cout)
+    r, cc = picked
+    if rrows is not None:
+        r = rrows
+    nsteps = h // r
+    nchunks = -(-wd // cc)
+    wp = nchunks * cc
+    xin = x if wp == wd else jnp.pad(x, ((0, 0), (0, 0), (0, wp - wd),
+                                         (0, 0)))
+
+    static = dict(rrows=r, width=cc, cout=cout, act=act, nsteps=nsteps,
+                  nchunks=nchunks)
+    if b is None:
+        def kern(*refs):
+            (tl, tc, tr, ml, mc, mr, bl, bc, br, w_, out) = refs
+            _conv3_kernel(tl, tc, tr, ml, mc, mr, bl, bc, br, w_, None,
+                          out, **static)
+    else:
+        def kern(*refs):
+            (tl, tc, tr, ml, mc, mr, bl, bc, br, w_, b_, out) = refs
+            _conv3_kernel(tl, tc, tr, ml, mc, mr, bl, bc, br, w_, b_,
+                          out, **static)
+
+    ncb = cc // 8           # col index units for the 8-wide halo strips
+    lastc = wp // 8 - 1
+
+    def rtop(i):
+        return jnp.maximum(i * r - 1, 0)
+
+    def rbot(i):
+        return jnp.minimum(i * r + r, h - 1)
+
+    def cleft(j):
+        return jnp.maximum(j * ncb - 1, 0)
+
+    def cright(j):
+        return jnp.minimum(j * ncb + ncb, lastc)
+
+    in_specs = [
+        # top band: left strip / center / right strip
+        pl.BlockSpec((1, 1, 8, cin), lambda bi, i, j: (bi, rtop(i), cleft(j), 0)),
+        pl.BlockSpec((1, 1, cc, cin), lambda bi, i, j: (bi, rtop(i), j, 0)),
+        pl.BlockSpec((1, 1, 8, cin), lambda bi, i, j: (bi, rtop(i), cright(j), 0)),
+        # mid band
+        pl.BlockSpec((1, r, 8, cin), lambda bi, i, j: (bi, i, cleft(j), 0)),
+        pl.BlockSpec((1, r, cc, cin), lambda bi, i, j: (bi, i, j, 0)),
+        pl.BlockSpec((1, r, 8, cin), lambda bi, i, j: (bi, i, cright(j), 0)),
+        # bottom band
+        pl.BlockSpec((1, 1, 8, cin), lambda bi, i, j: (bi, rbot(i), cleft(j), 0)),
+        pl.BlockSpec((1, 1, cc, cin), lambda bi, i, j: (bi, rbot(i), j, 0)),
+        pl.BlockSpec((1, 1, 8, cin), lambda bi, i, j: (bi, rbot(i), cright(j), 0)),
+        pl.BlockSpec((3, 3, cin, cout), lambda bi, i, j: (0, 0, 0, 0)),
+    ]
+    args = [xin] * 9 + [w]
+    if b is not None:
+        in_specs.append(pl.BlockSpec((cout,), lambda bi, i, j: (0,)))
+        args.append(b)
+
+    y = pl.pallas_call(
+        kern,
+        grid=(bsz, nsteps, nchunks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, r, cc, cout),
+                               lambda bi, i, j: (bi, i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, wp, cout), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_BUDGET + 32 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    if wp != wd:
+        y = jax.lax.slice_in_dim(y, 0, wd, axis=2)
+    if shuffle > 1:
+        from .pixel_shuffle import pixel_shuffle
+        y = pixel_shuffle(y, shuffle)
+    return y
+
+
+def conv_after_shuffle_weights(w, r: int):
+    """Transform conv weights so the conv runs before the pixel-shuffle.
+
+    Identity: ``conv3x3(pixel_shuffle(x, r), w) ==
+    pixel_shuffle(conv3x3(x, conv_after_shuffle_weights(w, r)), r)``.
+
+    Derivation: the shuffled image's pixel (r*h+i, r*w+j) takes channel
+    c = cidx*r^2 + i*r + j of plane pixel (h, w). A 3x3 tap at image offset
+    (dy, dx) from output phase (i, j) lands on plane offset
+    (dyp, dxp) = ((i+dy)//r, (j+dx)//r) at phase (a, b) =
+    ((i+dy)%r, (j+dx)%r) — still within a 3x3 plane stencil for any r >= 1.
+    Why it wins on TPU: the x4 head's post-shuffle 64->3 conv runs over
+    r^2-times more MXU rows than the plane-space 64*r^2 -> 3*r^2 form, and
+    the r*H x r*W intermediate (2.2GB at 2K x4) never hits HBM.
+
+    Args:
+        w: (3, 3, Cin, Cout) weights of the conv applied after the shuffle.
+        r: the pixel-shuffle factor.
+    Returns:
+        (3, 3, Cin * r^2, Cout * r^2) weights for the plane-space conv.
+        (For bias use ``jnp.repeat(b, r * r)``.)
+    """
+    _, _, cin, cout = w.shape
+    wp = jnp.zeros((3, 3, cin * r * r, cout * r * r), w.dtype)
+    for i in range(r):
+        for j in range(r):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    a, dyp = (i + dy) % r, (i + dy) // r
+                    bb, dxp = (j + dx) % r, (j + dx) // r
+                    wp = wp.at[dyp + 1, dxp + 1, a * r + bb::r * r,
+                               i * r + j::r * r].set(w[dy + 1, dx + 1])
+    return wp
