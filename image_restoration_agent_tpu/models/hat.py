@@ -25,7 +25,7 @@ from ..ops.pixel_shuffle import pixel_shuffle
 from ..ops.window_attention import (
     shift_attention_mask, window_attention, window_partition, window_reverse,
 )
-from .common import Conv
+from .common import Conv, ConvAfterShuffle
 from .registry import ModelSpec, register_model
 from .swinir import RGB_MEAN, WindowAttentionLayer
 
@@ -227,8 +227,7 @@ class RHAG(nn.Module):
                     name=f"hab{i}")(x)
         x = OCAB(self.dim, self.window_size, self.overlap_ratio,
                  self.num_heads, self.mlp_ratio, name="ocab")(x)
-        x = Conv(self.dim, kernel=3, name="conv")(x)
-        return x + res
+        return Conv(self.dim, kernel=3, name="conv")(x, res=res)
 
 
 class HAT(nn.Module):
@@ -262,19 +261,27 @@ class HAT(nn.Module):
                      self.squeeze_factor, self.conv_scale, self.mlp_ratio,
                      self.attention_impl, name=f"layer{i}")(y)
         y = nn.LayerNorm(epsilon=1e-5, name="norm")(y)
-        y = Conv(self.embed_dim, kernel=3, name="conv_after_body")(y) + feat
+        y = Conv(self.embed_dim, kernel=3, name="conv_after_body")(y,
+                                                                   res=feat)
 
-        y = Conv(self.num_feat, kernel=3, name="conv_before_upsample")(y)
-        y = nn.leaky_relu(y, negative_slope=0.01)
+        y = Conv(self.num_feat, kernel=3, act="lrelu",
+                 name="conv_before_upsample")(y)
         s, stage = self.upscale, 0
+        last_r = 1
         while s > 1:
             r = 3 if s % 3 == 0 else 2
-            y = Conv(self.num_feat * r * r, kernel=3,
-                     name=f"upsample{stage}")(y)
-            y = pixel_shuffle(y, r)
             s //= r
+            # final stage's shuffle fuses into conv_last (plane space)
+            y = Conv(self.num_feat * r * r, kernel=3,
+                     shuffle=1 if s == 1 else r,
+                     name=f"upsample{stage}")(y)
+            last_r = r
             stage += 1
-        y = Conv(self.img_channels, kernel=3, name="conv_last")(y)
+        if last_r > 1:
+            y = ConvAfterShuffle(self.img_channels, last_r,
+                                 name="conv_last")(y)
+        else:
+            y = Conv(self.img_channels, kernel=3, name="conv_last")(y)
         return y / self.img_range + mean
 
 

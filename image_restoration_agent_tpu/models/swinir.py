@@ -260,8 +260,7 @@ class RSTB(nn.Module):
             # one unroll per RSTB (vs one roll out + one roll back per
             # shifted block before the fold)
             x = roll2d_pallas(x, -frame, ws=self.window_size)
-        x = Conv(self.dim, kernel=3, name="conv")(x)
-        return x + res
+        return Conv(self.dim, kernel=3, name="conv")(x, res=res)
 
 
 class SwinIR(nn.Module):
@@ -302,7 +301,7 @@ class SwinIR(nn.Module):
                      self.mlp_ratio, attention_impl=self.attention_impl,
                      name=f"layer{i}")(y)
         y = nn.LayerNorm(epsilon=1e-5, name="norm")(y)
-        y = Conv(self.embed_dim, kernel=3, name="conv_after_body")(y) + feat
+        y = Conv(self.embed_dim, kernel=3, name="conv_after_body")(y, res=feat)
 
         if self.upsampler == "pixelshuffle":
             y = Conv(self.num_feat, kernel=3, act="lrelu",

@@ -35,7 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _conv3_kernel(tl, tc, tr, ml, mc, mr, bl, bc, br, w_ref, b_ref,
-                  out_ref, *, rrows, width, cout, act, nsteps, nchunks):
+                  res_ref, out_ref, *, rrows, width, cout, act, nsteps,
+                  nchunks):
     i = pl.program_id(1)
     j = pl.program_id(2)
     cin = tc.shape[-1]
@@ -68,6 +69,11 @@ def _conv3_kernel(tl, tc, tr, ml, mc, mr, bl, bc, br, w_ref, b_ref,
         acc = jnp.where(acc >= 0, acc, 0.01 * acc)
     elif act == "lrelu2":  # negative_slope=0.2 (ESRGAN-style heads)
         acc = jnp.where(acc >= 0, acc, 0.2 * acc)
+    if res_ref is not None:
+        # fused residual: conv(x) + res in one pass (the separate XLA add
+        # re-streams in+out+res through HBM — ~1.1GB per RSTB at band shape)
+        acc = acc + res_ref[0].reshape(rrows * width, cout) \
+            .astype(jnp.float32)
     out_ref[0] = acc.astype(out_ref.dtype).reshape(rrows, width, cout)
 
 
@@ -113,7 +119,8 @@ def conv3x3_supported(h: int, w: int, cin: int, cout: int,
 @functools.partial(jax.jit, static_argnames=("act", "shuffle", "interpret",
                                              "rrows"))
 def conv3x3_pallas(x, w, b=None, act: str | None = None, shuffle: int = 1,
-                   interpret: bool = False, rrows: int | None = None):
+                   interpret: bool = False, rrows: int | None = None,
+                   res=None):
     """SAME 3x3 conv (stride 1) with optional bias/activation/pixel-shuffle.
 
     Args:
@@ -123,6 +130,8 @@ def conv3x3_pallas(x, w, b=None, act: str | None = None, shuffle: int = 1,
         act: None | "lrelu" (slope .01) | "lrelu2" (slope .2).
         shuffle: r >= 1; r > 1 applies pixel_shuffle(y, r) to the output.
         rrows: override the auto-picked rows-per-strip (benchmarking).
+        res: optional (B, H, W, Cout) residual, fused as conv(x)+res
+            (applied after act; mutually exclusive with shuffle > 1).
 
     Returns:
         (B, H, W, Cout) or the shuffled shape above, dtype of x.
@@ -146,18 +155,21 @@ def conv3x3_pallas(x, w, b=None, act: str | None = None, shuffle: int = 1,
     xin = x if wp == wd else jnp.pad(x, ((0, 0), (0, 0), (0, wp - wd),
                                          (0, 0)))
 
+    assert res is None or (shuffle == 1 and res.shape == (bsz, h, wd, cout))
+    if res is not None and wp != wd:
+        res = jnp.pad(res, ((0, 0), (0, 0), (0, wp - wd), (0, 0)))
+
     static = dict(rrows=r, width=cc, cout=cout, act=act, nsteps=nsteps,
                   nchunks=nchunks)
-    if b is None:
-        def kern(*refs):
-            (tl, tc, tr, ml, mc, mr, bl, bc, br, w_, out) = refs
-            _conv3_kernel(tl, tc, tr, ml, mc, mr, bl, bc, br, w_, None,
-                          out, **static)
-    else:
-        def kern(*refs):
-            (tl, tc, tr, ml, mc, mr, bl, bc, br, w_, b_, out) = refs
-            _conv3_kernel(tl, tc, tr, ml, mc, mr, bl, bc, br, w_, b_,
-                          out, **static)
+    have_b, have_res = b is not None, res is not None
+
+    def kern(*refs):
+        base, refs = refs[:10], refs[10:]
+        b_ = refs[0] if have_b else None
+        refs = refs[1:] if have_b else refs
+        r_ = refs[0] if have_res else None
+        out = refs[-1]
+        _conv3_kernel(*base, b_, r_, out, **static)
 
     ncb = cc // 8           # col index units for the 8-wide halo strips
     lastc = wp // 8 - 1
@@ -193,6 +205,10 @@ def conv3x3_pallas(x, w, b=None, act: str | None = None, shuffle: int = 1,
     if b is not None:
         in_specs.append(pl.BlockSpec((cout,), lambda bi, i, j: (0,)))
         args.append(b)
+    if res is not None:
+        in_specs.append(pl.BlockSpec((1, r, cc, cout),
+                                     lambda bi, i, j: (bi, i, j, 0)))
+        args.append(res)
 
     y = pl.pallas_call(
         kern,

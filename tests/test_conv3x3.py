@@ -187,3 +187,14 @@ class TestConvAfterShuffle:
         assert y_slow.shape == (1, 32, 256, 3)
         np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_slow),
                                    atol=2e-5)
+
+    def test_fused_residual(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 8, 128, 4),
+                                            dtype=np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, 4, 6), dtype=np.float32))
+        res = jnp.asarray(rng.standard_normal((1, 8, 128, 6),
+                                              dtype=np.float32))
+        got = conv3x3_pallas(x, w, res=res, interpret=True)
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(_xla_conv(x, w) + res),
+                                   atol=2e-5)
