@@ -43,14 +43,14 @@ class _FastConv3x3(nn.Module):
     interpret: bool = False
 
     @nn.compact
-    def __call__(self, x, res=None):
+    def __call__(self, x, res=None, roll=0):
         cin = x.shape[-1]
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (3, 3, cin, self.features))
         b = (self.param("bias", nn.initializers.zeros, (self.features,))
              if self.use_bias else None)
         return conv3x3_pallas(x, w, b, act=self.act, shuffle=self.shuffle,
-                              interpret=self.interpret, res=res)
+                              interpret=self.interpret, res=res, roll=roll)
 
 
 class _ConvAfterShuffleInner(nn.Module):
@@ -138,7 +138,7 @@ class Conv(nn.Module):
     shuffle: int = 1
 
     @nn.compact
-    def __call__(self, x, res=None):
+    def __call__(self, x, res=None, roll=0):
         mode = _CONV3X3_MODE
         fast = (
             mode != "off"
@@ -151,7 +151,10 @@ class Conv(nn.Module):
         if fast:
             return _FastConv3x3(
                 self.features, self.use_bias, self.act, self.shuffle,
-                interpret=(mode == "interpret"), name="Conv_0")(x, res)
+                interpret=(mode == "interpret"), name="Conv_0")(x, res,
+                                                                roll)
+        if roll:
+            x = jnp.roll(x, (roll, roll), axis=(1, 2))
         p = (self.kernel - 1) // 2
         y = nn.Conv(
             self.features,

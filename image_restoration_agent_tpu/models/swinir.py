@@ -256,11 +256,10 @@ class RSTB(nn.Module):
                 mlp_ratio=self.mlp_ratio,
                 attention_impl=self.attention_impl,
                 name=f"block{i}")(x, frame)
-        if frame != 0:
-            # one unroll per RSTB (vs one roll out + one roll back per
-            # shifted block before the fold)
-            x = roll2d_pallas(x, -frame, ws=self.window_size)
-        return Conv(self.dim, kernel=3, name="conv")(x, res=res)
+        # the RSTB unroll (undoing the folded shift frame) fuses into the
+        # conv's index maps — no whole-canvas roll pass (ops/conv3x3.py)
+        return Conv(self.dim, kernel=3, name="conv")(x, res=res,
+                                                     roll=-frame)
 
 
 class SwinIR(nn.Module):

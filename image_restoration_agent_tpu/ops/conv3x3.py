@@ -34,27 +34,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv3_kernel(tl, tc, tr, ml, mc, mr, bl, bc, br, w_ref, b_ref,
-                  res_ref, out_ref, *, rrows, width, cout, act, nsteps,
-                  nchunks):
-    i = pl.program_id(1)
-    j = pl.program_id(2)
-    cin = tc.shape[-1]
-
-    def band(l_ref, c_ref, r_ref, nrows):
-        zero = jnp.zeros((nrows, 1, cin), c_ref.dtype)
-        left = jnp.where(j == 0, zero, l_ref[0][:, 7:8, :])
-        right = jnp.where(j == nchunks - 1, zero, r_ref[0][:, 0:1, :])
-        return jnp.concatenate([left, c_ref[0], right], axis=1)
-
-    zrow = jnp.zeros((1, width + 2, cin), tc.dtype)
-    top = jnp.where(i == 0, zrow, band(tl, tc, tr, 1))
-    bot = jnp.where(i == nsteps - 1, zrow, band(bl, bc, br, 1))
-    xp = jnp.concatenate([top, band(ml, mc, mr, rrows), bot], axis=0)
-
-    # slab slicing stays inside the loop: hoisting all 9 shifted copies
-    # into a list materializes 9 x (R*CC, Cin) in VMEM at once and OOMs
-    # scoped vmem
+def _taps_and_store(xp, w_ref, b_ref, res_ref, out_ref, *, rrows, width,
+                    cout, act):
+    """The 9 shifted dots + epilogues, from an assembled (R+2, W+2, Cin)
+    window. Slab slicing stays inside the loop: hoisting all 9 shifted
+    copies into a list materializes 9 x (R*CC, Cin) in VMEM at once and
+    OOMs scoped vmem."""
+    cin = xp.shape[-1]
     acc = jnp.zeros((rrows * width, cout), jnp.float32)
     for dy in range(3):
         for dx in range(3):
@@ -75,6 +61,66 @@ def _conv3_kernel(tl, tc, tr, ml, mc, mr, bl, bc, br, w_ref, b_ref,
         acc = acc + res_ref[0].reshape(rrows * width, cout) \
             .astype(jnp.float32)
     out_ref[0] = acc.astype(out_ref.dtype).reshape(rrows, width, cout)
+
+
+def _conv3_kernel(tl, tc, tr, ml, mc, mr, bl, bc, br, w_ref, b_ref,
+                  res_ref, out_ref, *, rrows, width, cout, act, nsteps,
+                  nchunks):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    cin = tc.shape[-1]
+
+    def band(l_ref, c_ref, r_ref, nrows):
+        zero = jnp.zeros((nrows, 1, cin), c_ref.dtype)
+        left = jnp.where(j == 0, zero, l_ref[0][:, 7:8, :])
+        right = jnp.where(j == nchunks - 1, zero, r_ref[0][:, 0:1, :])
+        return jnp.concatenate([left, c_ref[0], right], axis=1)
+
+    zrow = jnp.zeros((1, width + 2, cin), tc.dtype)
+    top = jnp.where(i == 0, zrow, band(tl, tc, tr, 1))
+    bot = jnp.where(i == nsteps - 1, zrow, band(bl, bc, br, 1))
+    xp = jnp.concatenate([top, band(ml, mc, mr, rrows), bot], axis=0)
+    _taps_and_store(xp, w_ref, b_ref, res_ref, out_ref, rrows=rrows,
+                    width=width, cout=cout, act=act)
+
+
+def _conv3_roll_kernel(mc, strip, band, corner, w_ref, b_ref, res_ref,
+                       out_ref, *, rrows, width, cout, act, nsteps,
+                       nchunks, off):
+    """Roll-fused variant: computes conv(roll(x, (-off, -off))) without the
+    separate whole-canvas roll pass. The cyclic roll by ``off``
+    (1 <= |off| <= 7) fits inside one 8-wide/8-tall extra block, so each
+    step reads its (R, CC) center plus an 8-col strip, an 8-row band, and
+    the 8x8 corner on the roll's side — all with modular index maps (the
+    roll's wraparound IS the modular map). SAME zero padding lands at the
+    rolled canvas edges via the same i/j edge masks as the unrolled
+    kernel."""
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    cin = mc.shape[-1]
+    if off > 0:  # halos on the bottom/right side
+        mid = jnp.concatenate([mc[0], strip[0]], axis=1)      # (R, CC+8)
+        edge = jnp.concatenate([band[0], corner[0]], axis=1)  # (8, CC+8)
+        big = jnp.concatenate([mid, edge], axis=0)            # (R+8, CC+8)
+        base = 0       # center block sits at rows/cols [0, ...)
+    else:        # halos on the top/left side
+        mid = jnp.concatenate([strip[0], mc[0]], axis=1)
+        edge = jnp.concatenate([corner[0], band[0]], axis=1)
+        big = jnp.concatenate([edge, mid], axis=0)
+        base = 8       # center block sits at rows/cols [8, ...)
+    win = big[base + off - 1:base + off + rrows + 1,
+              base + off - 1:base + off + width + 1, :]
+
+    zrow = jnp.zeros((1, width + 2, cin), win.dtype)
+    top = jnp.where(i == 0, zrow, win[0:1])
+    bot = jnp.where(i == nsteps - 1, zrow, win[rrows + 1:rrows + 2])
+    xp = jnp.concatenate([top, win[1:rrows + 1], bot], axis=0)
+    zcol = jnp.zeros((rrows + 2, 1, cin), win.dtype)
+    left = jnp.where(j == 0, zcol, xp[:, 0:1])
+    right = jnp.where(j == nchunks - 1, zcol, xp[:, width + 1:width + 2])
+    xp = jnp.concatenate([left, xp[:, 1:width + 1], right], axis=1)
+    _taps_and_store(xp, w_ref, b_ref, res_ref, out_ref, rrows=rrows,
+                    width=width, cout=cout, act=act)
 
 
 _VMEM_BUDGET = 96 * 1024 * 1024
@@ -117,10 +163,10 @@ def conv3x3_supported(h: int, w: int, cin: int, cout: int,
 
 
 @functools.partial(jax.jit, static_argnames=("act", "shuffle", "interpret",
-                                             "rrows"))
+                                             "rrows", "roll"))
 def conv3x3_pallas(x, w, b=None, act: str | None = None, shuffle: int = 1,
                    interpret: bool = False, rrows: int | None = None,
-                   res=None):
+                   res=None, roll: int = 0):
     """SAME 3x3 conv (stride 1) with optional bias/activation/pixel-shuffle.
 
     Args:
@@ -132,6 +178,11 @@ def conv3x3_pallas(x, w, b=None, act: str | None = None, shuffle: int = 1,
         rrows: override the auto-picked rows-per-strip (benchmarking).
         res: optional (B, H, W, Cout) residual, fused as conv(x)+res
             (applied after act; mutually exclusive with shuffle > 1).
+        roll: compute conv over the cyclically rolled canvas
+            ``jnp.roll(x, (roll, roll), axis=(1, 2))`` without the separate
+            whole-canvas roll pass (the Swin RSTB unroll). Fused in-kernel
+            when the effective offset fits the halo blocks, else applied
+            as an XLA roll first.
 
     Returns:
         (B, H, W, Cout) or the shuffled shape above, dtype of x.
@@ -152,6 +203,14 @@ def conv3x3_pallas(x, w, b=None, act: str | None = None, shuffle: int = 1,
     nsteps = h // r
     nchunks = -(-wd // cc)
     wp = nchunks * cc
+
+    off = -roll
+    fuse_roll = wp == wd and 1 <= abs(off) <= 7
+    if roll and not fuse_roll:
+        x = jnp.roll(x, (roll, roll), axis=(1, 2))
+        off = 0
+    fuse_roll = fuse_roll and off != 0
+
     xin = x if wp == wd else jnp.pad(x, ((0, 0), (0, 0), (0, wp - wd),
                                          (0, 0)))
 
@@ -162,17 +221,24 @@ def conv3x3_pallas(x, w, b=None, act: str | None = None, shuffle: int = 1,
     static = dict(rrows=r, width=cc, cout=cout, act=act, nsteps=nsteps,
                   nchunks=nchunks)
     have_b, have_res = b is not None, res is not None
+    nbase = 5 if fuse_roll else 10  # canvas refs + the weight ref
 
     def kern(*refs):
-        base, refs = refs[:10], refs[10:]
+        base, refs = refs[:nbase - 1], refs[nbase - 1:]
+        w_ = refs[0]
+        refs = refs[1:]
         b_ = refs[0] if have_b else None
         refs = refs[1:] if have_b else refs
         r_ = refs[0] if have_res else None
         out = refs[-1]
-        _conv3_kernel(*base, b_, r_, out, **static)
+        if fuse_roll:
+            _conv3_roll_kernel(*base, w_, b_, r_, out, off=off, **static)
+        else:
+            _conv3_kernel(*base, w_, b_, r_, out, **static)
 
     ncb = cc // 8           # col index units for the 8-wide halo strips
     lastc = wp // 8 - 1
+    nrb8 = h // 8
 
     def rtop(i):
         return jnp.maximum(i * r - 1, 0)
@@ -186,22 +252,45 @@ def conv3x3_pallas(x, w, b=None, act: str | None = None, shuffle: int = 1,
     def cright(j):
         return jnp.minimum(j * ncb + ncb, lastc)
 
-    in_specs = [
-        # top band: left strip / center / right strip
-        pl.BlockSpec((1, 1, 8, cin), lambda bi, i, j: (bi, rtop(i), cleft(j), 0)),
-        pl.BlockSpec((1, 1, cc, cin), lambda bi, i, j: (bi, rtop(i), j, 0)),
-        pl.BlockSpec((1, 1, 8, cin), lambda bi, i, j: (bi, rtop(i), cright(j), 0)),
-        # mid band
-        pl.BlockSpec((1, r, 8, cin), lambda bi, i, j: (bi, i, cleft(j), 0)),
-        pl.BlockSpec((1, r, cc, cin), lambda bi, i, j: (bi, i, j, 0)),
-        pl.BlockSpec((1, r, 8, cin), lambda bi, i, j: (bi, i, cright(j), 0)),
-        # bottom band
-        pl.BlockSpec((1, 1, 8, cin), lambda bi, i, j: (bi, rbot(i), cleft(j), 0)),
-        pl.BlockSpec((1, 1, cc, cin), lambda bi, i, j: (bi, rbot(i), j, 0)),
-        pl.BlockSpec((1, 1, 8, cin), lambda bi, i, j: (bi, rbot(i), cright(j), 0)),
-        pl.BlockSpec((3, 3, cin, cout), lambda bi, i, j: (0, 0, 0, 0)),
-    ]
-    args = [xin] * 9 + [w]
+    if fuse_roll:
+        rb8 = r // 8  # mid block row index in 8-row units times this
+        ncbt = lastc + 1
+        if off > 0:   # bottom/right halos
+            cstrip = lambda bi, i, j: (bi, i, (j * ncb + ncb) % ncbt, 0)
+            cband = lambda bi, i, j: (bi, (i * rb8 + rb8) % nrb8, j, 0)
+            ccorn = lambda bi, i, j: (bi, (i * rb8 + rb8) % nrb8,
+                                      (j * ncb + ncb) % ncbt, 0)
+        else:         # top/left halos
+            cstrip = lambda bi, i, j: (bi, i, (j * ncb - 1) % ncbt, 0)
+            cband = lambda bi, i, j: (bi, (i * rb8 - 1) % nrb8, j, 0)
+            ccorn = lambda bi, i, j: (bi, (i * rb8 - 1) % nrb8,
+                                      (j * ncb - 1) % ncbt, 0)
+        in_specs = [
+            # center / 8-col strip / 8-row band / 8x8 corner; modular maps
+            # implement the roll's wraparound
+            pl.BlockSpec((1, r, cc, cin), lambda bi, i, j: (bi, i, j, 0)),
+            pl.BlockSpec((1, r, 8, cin), cstrip),
+            pl.BlockSpec((1, 8, cc, cin), cband),
+            pl.BlockSpec((1, 8, 8, cin), ccorn),
+            pl.BlockSpec((3, 3, cin, cout), lambda bi, i, j: (0, 0, 0, 0)),
+        ]
+    else:
+        in_specs = [
+            # top band: left strip / center / right strip
+            pl.BlockSpec((1, 1, 8, cin), lambda bi, i, j: (bi, rtop(i), cleft(j), 0)),
+            pl.BlockSpec((1, 1, cc, cin), lambda bi, i, j: (bi, rtop(i), j, 0)),
+            pl.BlockSpec((1, 1, 8, cin), lambda bi, i, j: (bi, rtop(i), cright(j), 0)),
+            # mid band
+            pl.BlockSpec((1, r, 8, cin), lambda bi, i, j: (bi, i, cleft(j), 0)),
+            pl.BlockSpec((1, r, cc, cin), lambda bi, i, j: (bi, i, j, 0)),
+            pl.BlockSpec((1, r, 8, cin), lambda bi, i, j: (bi, i, cright(j), 0)),
+            # bottom band
+            pl.BlockSpec((1, 1, 8, cin), lambda bi, i, j: (bi, rbot(i), cleft(j), 0)),
+            pl.BlockSpec((1, 1, cc, cin), lambda bi, i, j: (bi, rbot(i), j, 0)),
+            pl.BlockSpec((1, 1, 8, cin), lambda bi, i, j: (bi, rbot(i), cright(j), 0)),
+            pl.BlockSpec((3, 3, cin, cout), lambda bi, i, j: (0, 0, 0, 0)),
+        ]
+    args = [xin] * (nbase - 1) + [w]
     if b is not None:
         in_specs.append(pl.BlockSpec((cout,), lambda bi, i, j: (0,)))
         args.append(b)

@@ -198,3 +198,26 @@ class TestConvAfterShuffle:
         np.testing.assert_allclose(np.asarray(got),
                                    np.asarray(_xla_conv(x, w) + res),
                                    atol=2e-5)
+
+    @pytest.mark.parametrize("roll", [-4, 4, -12])
+    def test_fused_roll(self, rng, roll):
+        """conv(roll2d(x, roll)): fused via modular index maps for
+        |roll| <= 7 (either sign), XLA roll fallback otherwise."""
+        x = jnp.asarray(rng.standard_normal((1, 24, 136, 5),
+                                            dtype=np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, 5, 6), dtype=np.float32))
+        got = conv3x3_pallas(x, w, roll=roll, interpret=True)
+        want = _xla_conv(jnp.roll(x, (roll, roll), axis=(1, 2)), w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+    def test_fused_roll_with_residual(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 16, 128, 4),
+                                            dtype=np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, 4, 4), dtype=np.float32))
+        res = jnp.asarray(rng.standard_normal((1, 16, 128, 4),
+                                              dtype=np.float32))
+        got = conv3x3_pallas(x, w, roll=4, res=res, interpret=True)
+        want = _xla_conv(jnp.roll(x, (4, 4), axis=(1, 2)), w) + res
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
