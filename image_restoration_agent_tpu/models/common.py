@@ -43,14 +43,39 @@ class _FastConv3x3(nn.Module):
     interpret: bool = False
 
     @nn.compact
-    def __call__(self, x, res=None, roll=0):
+    def __call__(self, x, res=None, roll=0, ln_pre=None):
         cin = x.shape[-1]
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (3, 3, cin, self.features))
         b = (self.param("bias", nn.initializers.zeros, (self.features,))
              if self.use_bias else None)
         return conv3x3_pallas(x, w, b, act=self.act, shuffle=self.shuffle,
-                              interpret=self.interpret, res=res, roll=roll)
+                              interpret=self.interpret, res=res, roll=roll,
+                              ln_pre=ln_pre)
+
+
+class LNParams(nn.Module):
+    """Declares nn.LayerNorm-compatible params ({scale, bias} under this
+    module's name) and returns them, so a downstream op can fuse the
+    normalization (e.g. conv3x3_pallas(ln_pre=...)) without changing the
+    checkpoint param tree."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,)),
+                self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+
+def layer_norm_lanes(x, scale, bias, eps=1e-5):
+    """nn.LayerNorm equivalent over the last axis (f32 math)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)) \
+        .astype(x.dtype)
 
 
 class _ConvAfterShuffleInner(nn.Module):
@@ -138,7 +163,7 @@ class Conv(nn.Module):
     shuffle: int = 1
 
     @nn.compact
-    def __call__(self, x, res=None, roll=0):
+    def __call__(self, x, res=None, roll=0, ln_pre=None):
         mode = _CONV3X3_MODE
         fast = (
             mode != "off"
@@ -152,7 +177,10 @@ class Conv(nn.Module):
             return _FastConv3x3(
                 self.features, self.use_bias, self.act, self.shuffle,
                 interpret=(mode == "interpret"), name="Conv_0")(x, res,
-                                                                roll)
+                                                                roll,
+                                                                ln_pre)
+        if ln_pre is not None:
+            x = layer_norm_lanes(x, *ln_pre)
         if roll:
             x = jnp.roll(x, (roll, roll), axis=(1, 2))
         p = (self.kernel - 1) // 2

@@ -25,7 +25,7 @@ from ..ops.pixel_shuffle import pixel_shuffle
 from ..ops.window_attention import (
     shift_attention_mask, window_attention, window_partition, window_reverse,
 )
-from .common import Conv, ConvAfterShuffle
+from .common import Conv, ConvAfterShuffle, LNParams
 from .registry import ModelSpec, register_model
 from .swinir import RGB_MEAN, WindowAttentionLayer
 
@@ -260,9 +260,9 @@ class HAT(nn.Module):
                      self.overlap_ratio, self.compress_ratio,
                      self.squeeze_factor, self.conv_scale, self.mlp_ratio,
                      self.attention_impl, name=f"layer{i}")(y)
-        y = nn.LayerNorm(epsilon=1e-5, name="norm")(y)
-        y = Conv(self.embed_dim, kernel=3, name="conv_after_body")(y,
-                                                                   res=feat)
+        ln = LNParams(self.embed_dim, name="norm")()
+        y = Conv(self.embed_dim, kernel=3, name="conv_after_body")(
+            y, res=feat, ln_pre=ln)
 
         y = Conv(self.num_feat, kernel=3, act="lrelu",
                  name="conv_before_upsample")(y)

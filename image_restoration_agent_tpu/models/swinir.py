@@ -34,7 +34,7 @@ from ..ops.window_attention import (
     window_partition,
     window_reverse,
 )
-from .common import Conv, ConvAfterShuffle
+from .common import Conv, ConvAfterShuffle, LNParams
 from .registry import ModelSpec, register_model
 
 RGB_MEAN = (0.4488, 0.4371, 0.4040)  # DIV2K mean (network_swinir.py:716)
@@ -299,8 +299,11 @@ class SwinIR(nn.Module):
             y = RSTB(self.embed_dim, d, h, self.window_size,
                      self.mlp_ratio, attention_impl=self.attention_impl,
                      name=f"layer{i}")(y)
-        y = nn.LayerNorm(epsilon=1e-5, name="norm")(y)
-        y = Conv(self.embed_dim, kernel=3, name="conv_after_body")(y, res=feat)
+        # trailing LayerNorm fused into conv_after_body (param path "norm"
+        # unchanged; see LNParams)
+        ln = LNParams(self.embed_dim, name="norm")()
+        y = Conv(self.embed_dim, kernel=3, name="conv_after_body")(
+            y, res=feat, ln_pre=ln)
 
         if self.upsampler == "pixelshuffle":
             y = Conv(self.num_feat, kernel=3, act="lrelu",

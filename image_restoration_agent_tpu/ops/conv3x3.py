@@ -34,6 +34,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _ln_mask_taps(win, i, j, lnpre, w_ref, b_ref, res_ref, out_ref, *,
+                  rrows, width, cout, act, nsteps, nchunks):
+    """Optional fused input LayerNorm, then SAME-pad edge masking, then the
+    tap loop. LN runs BEFORE masking: the conv zero-pads the LN *output*
+    at canvas edges (LN(0) = ln_bias != 0)."""
+    cin = win.shape[-1]
+    if lnpre is not None:
+        lnw, lnb = lnpre
+        xf = win.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        win = ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * lnw[:][None, None, :]
+               + lnb[:][None, None, :]).astype(win.dtype)
+    zrow = jnp.zeros((1, width + 2, cin), win.dtype)
+    top = jnp.where(i == 0, zrow, win[0:1])
+    bot = jnp.where(i == nsteps - 1, zrow, win[rrows + 1:rrows + 2])
+    xp = jnp.concatenate([top, win[1:rrows + 1], bot], axis=0)
+    zcol = jnp.zeros((rrows + 2, 1, cin), win.dtype)
+    left = jnp.where(j == 0, zcol, xp[:, 0:1])
+    right = jnp.where(j == nchunks - 1, zcol, xp[:, width + 1:width + 2])
+    xp = jnp.concatenate([left, xp[:, 1:width + 1], right], axis=1)
+    _taps_and_store(xp, w_ref, b_ref, res_ref, out_ref, rrows=rrows,
+                    width=width, cout=cout, act=act)
+
+
 def _taps_and_store(xp, w_ref, b_ref, res_ref, out_ref, *, rrows, width,
                     cout, act):
     """The 9 shifted dots + epilogues, from an assembled (R+2, W+2, Cin)
@@ -65,28 +90,24 @@ def _taps_and_store(xp, w_ref, b_ref, res_ref, out_ref, *, rrows, width,
 
 def _conv3_kernel(tl, tc, tr, ml, mc, mr, bl, bc, br, w_ref, b_ref,
                   res_ref, out_ref, *, rrows, width, cout, act, nsteps,
-                  nchunks):
+                  nchunks, lnpre=None):
     i = pl.program_id(1)
     j = pl.program_id(2)
-    cin = tc.shape[-1]
 
-    def band(l_ref, c_ref, r_ref, nrows):
-        zero = jnp.zeros((nrows, 1, cin), c_ref.dtype)
-        left = jnp.where(j == 0, zero, l_ref[0][:, 7:8, :])
-        right = jnp.where(j == nchunks - 1, zero, r_ref[0][:, 0:1, :])
-        return jnp.concatenate([left, c_ref[0], right], axis=1)
+    def band(l_ref, c_ref, r_ref):
+        return jnp.concatenate(
+            [l_ref[0][:, 7:8, :], c_ref[0], r_ref[0][:, 0:1, :]], axis=1)
 
-    zrow = jnp.zeros((1, width + 2, cin), tc.dtype)
-    top = jnp.where(i == 0, zrow, band(tl, tc, tr, 1))
-    bot = jnp.where(i == nsteps - 1, zrow, band(bl, bc, br, 1))
-    xp = jnp.concatenate([top, band(ml, mc, mr, rrows), bot], axis=0)
-    _taps_and_store(xp, w_ref, b_ref, res_ref, out_ref, rrows=rrows,
-                    width=width, cout=cout, act=act)
+    win = jnp.concatenate([band(tl, tc, tr), band(ml, mc, mr),
+                           band(bl, bc, br)], axis=0)  # (R+2, W+2) unmasked
+    _ln_mask_taps(win, i, j, lnpre, w_ref, b_ref, res_ref, out_ref,
+                  rrows=rrows, width=width, cout=cout, act=act,
+                  nsteps=nsteps, nchunks=nchunks)
 
 
 def _conv3_roll_kernel(mc, strip, band, corner, w_ref, b_ref, res_ref,
                        out_ref, *, rrows, width, cout, act, nsteps,
-                       nchunks, off):
+                       nchunks, off, lnpre=None):
     """Roll-fused variant: computes conv(roll(x, (-off, -off))) without the
     separate whole-canvas roll pass. The cyclic roll by ``off``
     (1 <= |off| <= 7) fits inside one 8-wide/8-tall extra block, so each
@@ -97,7 +118,6 @@ def _conv3_roll_kernel(mc, strip, band, corner, w_ref, b_ref, res_ref,
     kernel."""
     i = pl.program_id(1)
     j = pl.program_id(2)
-    cin = mc.shape[-1]
     if off > 0:  # halos on the bottom/right side
         mid = jnp.concatenate([mc[0], strip[0]], axis=1)      # (R, CC+8)
         edge = jnp.concatenate([band[0], corner[0]], axis=1)  # (8, CC+8)
@@ -110,17 +130,9 @@ def _conv3_roll_kernel(mc, strip, band, corner, w_ref, b_ref, res_ref,
         base = 8       # center block sits at rows/cols [8, ...)
     win = big[base + off - 1:base + off + rrows + 1,
               base + off - 1:base + off + width + 1, :]
-
-    zrow = jnp.zeros((1, width + 2, cin), win.dtype)
-    top = jnp.where(i == 0, zrow, win[0:1])
-    bot = jnp.where(i == nsteps - 1, zrow, win[rrows + 1:rrows + 2])
-    xp = jnp.concatenate([top, win[1:rrows + 1], bot], axis=0)
-    zcol = jnp.zeros((rrows + 2, 1, cin), win.dtype)
-    left = jnp.where(j == 0, zcol, xp[:, 0:1])
-    right = jnp.where(j == nchunks - 1, zcol, xp[:, width + 1:width + 2])
-    xp = jnp.concatenate([left, xp[:, 1:width + 1], right], axis=1)
-    _taps_and_store(xp, w_ref, b_ref, res_ref, out_ref, rrows=rrows,
-                    width=width, cout=cout, act=act)
+    _ln_mask_taps(win, i, j, lnpre, w_ref, b_ref, res_ref, out_ref,
+                  rrows=rrows, width=width, cout=cout, act=act,
+                  nsteps=nsteps, nchunks=nchunks)
 
 
 _VMEM_BUDGET = 96 * 1024 * 1024
@@ -166,7 +178,7 @@ def conv3x3_supported(h: int, w: int, cin: int, cout: int,
                                              "rrows", "roll"))
 def conv3x3_pallas(x, w, b=None, act: str | None = None, shuffle: int = 1,
                    interpret: bool = False, rrows: int | None = None,
-                   res=None, roll: int = 0):
+                   res=None, roll: int = 0, ln_pre=None):
     """SAME 3x3 conv (stride 1) with optional bias/activation/pixel-shuffle.
 
     Args:
@@ -183,6 +195,9 @@ def conv3x3_pallas(x, w, b=None, act: str | None = None, shuffle: int = 1,
             whole-canvas roll pass (the Swin RSTB unroll). Fused in-kernel
             when the effective offset fits the halo blocks, else applied
             as an XLA roll first.
+        ln_pre: optional (scale, bias), each (Cin,): fused input LayerNorm
+            (eps 1e-5, over channels) — conv(LN(x)); the conv's SAME zero
+            padding applies to the LN output, matching the unfused order.
 
     Returns:
         (B, H, W, Cout) or the shuffled shape above, dtype of x.
@@ -221,6 +236,7 @@ def conv3x3_pallas(x, w, b=None, act: str | None = None, shuffle: int = 1,
     static = dict(rrows=r, width=cc, cout=cout, act=act, nsteps=nsteps,
                   nchunks=nchunks)
     have_b, have_res = b is not None, res is not None
+    have_ln = ln_pre is not None
     nbase = 5 if fuse_roll else 10  # canvas refs + the weight ref
 
     def kern(*refs):
@@ -230,11 +246,14 @@ def conv3x3_pallas(x, w, b=None, act: str | None = None, shuffle: int = 1,
         b_ = refs[0] if have_b else None
         refs = refs[1:] if have_b else refs
         r_ = refs[0] if have_res else None
+        refs = refs[1:] if have_res else refs
+        lnp = (refs[0], refs[1]) if have_ln else None
         out = refs[-1]
         if fuse_roll:
-            _conv3_roll_kernel(*base, w_, b_, r_, out, off=off, **static)
+            _conv3_roll_kernel(*base, w_, b_, r_, out, off=off,
+                               lnpre=lnp, **static)
         else:
-            _conv3_kernel(*base, w_, b_, r_, out, **static)
+            _conv3_kernel(*base, w_, b_, r_, out, lnpre=lnp, **static)
 
     ncb = cc // 8           # col index units for the 8-wide halo strips
     lastc = wp // 8 - 1
@@ -298,6 +317,10 @@ def conv3x3_pallas(x, w, b=None, act: str | None = None, shuffle: int = 1,
         in_specs.append(pl.BlockSpec((1, r, cc, cout),
                                      lambda bi, i, j: (bi, i, j, 0)))
         args.append(res)
+    if ln_pre is not None:
+        for p in ln_pre:
+            in_specs.append(pl.BlockSpec((cin,), lambda bi, i, j: (0,)))
+            args.append(p)
 
     y = pl.pallas_call(
         kern,

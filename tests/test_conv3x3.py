@@ -221,3 +221,18 @@ class TestConvAfterShuffle:
         want = _xla_conv(jnp.roll(x, (4, 4), axis=(1, 2)), w) + res
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)
+
+    def test_fused_ln_pre(self, rng):
+        """conv(LN(x)): SAME pad applies to the LN output (masking after
+        the in-kernel LN, since LN(0) = ln_bias != 0)."""
+        x = jnp.asarray(rng.standard_normal((1, 8, 128, 6),
+                                            dtype=np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, 6, 4), dtype=np.float32))
+        s = jnp.asarray(rng.standard_normal(6, dtype=np.float32))
+        t = jnp.asarray(rng.standard_normal(6, dtype=np.float32))
+        from image_restoration_agent_tpu.models.common import (
+            layer_norm_lanes)
+        got = conv3x3_pallas(x, w, ln_pre=(s, t), interpret=True)
+        want = _xla_conv(layer_norm_lanes(x, s, t), w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5)
