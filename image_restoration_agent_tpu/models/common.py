@@ -12,8 +12,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.conv3x3 import (conv3x3_pallas, conv3x3_supported,
-                           conv_after_shuffle_weights)
+from ..ops.conv3x3 import (conv3x3_pair_pallas, conv3x3_pallas,
+                           conv3x3_supported, conv_after_shuffle_weights)
 from ..ops.layernorm import layer_norm_2d, layer_norm_bias_free, layer_norm_with_bias
 from ..ops.pixel_shuffle import pixel_shuffle
 
@@ -76,6 +76,65 @@ def layer_norm_lanes(x, scale, bias, eps=1e-5):
     y = (xf - mu) * jax.lax.rsqrt(var + eps)
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)) \
         .astype(x.dtype)
+
+
+class _ConvP(nn.Module):
+    features: int
+    cin: int
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, self.cin, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return w, b
+
+
+class ConvParams(nn.Module):
+    """Declares Conv-compatible params (child "Conv_0" with kernel/bias of
+    a 3x3 conv) and returns them, so a fused op can consume them without
+    changing the checkpoint param tree."""
+
+    features: int
+    cin: int
+
+    @nn.compact
+    def __call__(self):
+        return _ConvP(self.features, self.cin, name="Conv_0")()
+
+
+def upsample_tail(x, w1, b1, wl, bl, r):
+    """Final pixel-shuffle head stage: upsample conv (cin -> cin*r^2... the
+    declared feature width) + pixel_shuffle(r) + conv_last, computed as two
+    chained plane-space convs in one Pallas kernel when available (the
+    post-upsample intermediate never hits HBM), else the plain XLA chain.
+
+    Ref contract: network_swinir.py Upsample + conv_last
+    (AgenticIR/executor/denoising/tools/SwinIR/models/network_swinir.py:572,
+    served by AgentApp/model_service/denoising/SwinIR/model_serving.py).
+    """
+    mode = _CONV3X3_MODE
+    bsz, h, wd, cin = x.shape
+    fast = (
+        mode != "off" and x.ndim == 4
+        and (mode == "interpret" or jax.default_backend() == "tpu")
+        and h % 8 == 0 and wd % 8 == 0 and wd >= 128
+    )
+    if fast:
+        w2 = conv_after_shuffle_weights(wl, r)
+        b2 = jnp.repeat(bl, r * r)
+        y = conv3x3_pair_pallas(x, w1, b1, w2, b2,
+                                interpret=(mode == "interpret"))
+        return pixel_shuffle(y, r)
+
+    def conv(z, w, b):
+        y = jax.lax.conv_general_dilated(
+            z, w.astype(z.dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + b.astype(y.dtype)[None, None, None, :]
+
+    y = pixel_shuffle(conv(x, w1, b1), r)
+    return conv(y, wl, bl)
 
 
 class _ConvAfterShuffleInner(nn.Module):

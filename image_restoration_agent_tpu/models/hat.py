@@ -25,7 +25,7 @@ from ..ops.pixel_shuffle import pixel_shuffle
 from ..ops.window_attention import (
     shift_attention_mask, window_attention, window_partition, window_reverse,
 )
-from .common import Conv, ConvAfterShuffle, LNParams
+from .common import Conv, ConvParams, LNParams, upsample_tail
 from .registry import ModelSpec, register_model
 from .swinir import RGB_MEAN, WindowAttentionLayer
 
@@ -266,20 +266,23 @@ class HAT(nn.Module):
 
         y = Conv(self.num_feat, kernel=3, act="lrelu",
                  name="conv_before_upsample")(y)
-        s, stage = self.upscale, 0
-        last_r = 1
+        s = self.upscale
+        rs = []
         while s > 1:
-            r = 3 if s % 3 == 0 else 2
-            s //= r
-            # final stage's shuffle fuses into conv_last (plane space)
-            y = Conv(self.num_feat * r * r, kernel=3,
-                     shuffle=1 if s == 1 else r,
+            rs.append(3 if s % 3 == 0 else 2)
+            s //= rs[-1]
+        for stage, r in enumerate(rs[:-1]):
+            y = Conv(self.num_feat * r * r, kernel=3, shuffle=r,
                      name=f"upsample{stage}")(y)
-            last_r = r
-            stage += 1
-        if last_r > 1:
-            y = ConvAfterShuffle(self.img_channels, last_r,
-                                 name="conv_last")(y)
+        if rs:
+            # final upsample conv + shuffle + conv_last fused (see
+            # common.upsample_tail)
+            r = rs[-1]
+            w1, b1 = ConvParams(self.num_feat * r * r, self.num_feat,
+                                name=f"upsample{len(rs) - 1}")()
+            wl, bl = ConvParams(self.img_channels, self.num_feat,
+                                name="conv_last")()
+            y = upsample_tail(y, w1, b1, wl, bl, r)
         else:
             y = Conv(self.img_channels, kernel=3, name="conv_last")(y)
         return y / self.img_range + mean

@@ -375,3 +375,142 @@ def conv_after_shuffle_weights(w, r: int):
                     wp = wp.at[dyp + 1, dxp + 1, a * r + bb::r * r,
                                i * r + j::r * r].set(w[dy + 1, dx + 1])
     return wp
+
+
+def _conv3_pair_kernel(tl, tc, tr, ml, mc, mr, bl, bc, br, w1_ref, b1_ref,
+                       w2_ref, b2_ref, out_ref, *, rrows, width, cmid,
+                       cout, act_mid, nsteps, nchunks):
+    """Two chained SAME 3x3 convs in one kernel: the mid tensor u lives in
+    VMEM only (the unfused pair writes + re-reads it through HBM — 2.2GB
+    at the 2K x4 head's second stage). Halos are 2px, served by full 8-row
+    bands / 8-col strips / 8x8 corners with clamped index maps; both
+    convs' SAME zero pads are applied by masking exactly where the
+    separate convs would pad."""
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    cin = mc.shape[-1]
+
+    top = jnp.concatenate([tl[0], tc[0], tr[0]], axis=1)   # (8, CC+16)
+    mid = jnp.concatenate([ml[0], mc[0], mr[0]], axis=1)   # (R, CC+16)
+    bot = jnp.concatenate([bl[0], bc[0], br[0]], axis=1)   # (8, CC+16)
+    big = jnp.concatenate([top, mid, bot], axis=0)         # (R+16, CC+16)
+    win = big[6:rrows + 10, 6:width + 10, :]               # (R+4, CC+4)
+
+    # conv1's SAME pad: canvas rows [iR-2, iR) / [iR+R, iR+R+2) are zero
+    # at the canvas edges
+    z2r = jnp.zeros((2, width + 4, cin), win.dtype)
+    wtop = jnp.where(i == 0, z2r, win[0:2])
+    wbot = jnp.where(i == nsteps - 1, z2r, win[rrows + 2:rrows + 4])
+    win = jnp.concatenate([wtop, win[2:rrows + 2], wbot], axis=0)
+    z2c = jnp.zeros((rrows + 4, 2, cin), win.dtype)
+    wl_ = jnp.where(j == 0, z2c, win[:, 0:2])
+    wr_ = jnp.where(j == nchunks - 1, z2c, win[:, width + 2:width + 4])
+    win = jnp.concatenate([wl_, win[:, 2:width + 2], wr_], axis=1)
+
+    m1 = (rrows + 2) * (width + 2)
+    acc1 = jnp.zeros((m1, cmid), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            slab = win[dy:dy + rrows + 2, dx:dx + width + 2, :] \
+                .reshape(m1, cin)
+            acc1 = acc1 + jax.lax.dot_general(
+                slab, w1_ref[dy, dx], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    acc1 = acc1 + b1_ref[:][None, :].astype(jnp.float32)
+    if act_mid == "lrelu":
+        acc1 = jnp.where(acc1 >= 0, acc1, 0.01 * acc1)
+    u = acc1.astype(win.dtype).reshape(rrows + 2, width + 2, cmid)
+
+    # conv2's SAME pad: u rows/cols just outside the canvas are zero
+    z1r = jnp.zeros((1, width + 2, cmid), u.dtype)
+    utop = jnp.where(i == 0, z1r, u[0:1])
+    ubot = jnp.where(i == nsteps - 1, z1r, u[rrows + 1:rrows + 2])
+    u = jnp.concatenate([utop, u[1:rrows + 1], ubot], axis=0)
+    z1c = jnp.zeros((rrows + 2, 1, cmid), u.dtype)
+    ul = jnp.where(j == 0, z1c, u[:, 0:1])
+    ur = jnp.where(j == nchunks - 1, z1c, u[:, width + 1:width + 2])
+    u = jnp.concatenate([ul, u[:, 1:width + 1], ur], axis=1)
+
+    acc2 = jnp.zeros((rrows * width, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            slab = u[dy:dy + rrows, dx:dx + width, :] \
+                .reshape(rrows * width, cmid)
+            acc2 = acc2 + jax.lax.dot_general(
+                slab, w2_ref[dy, dx], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    acc2 = acc2 + b2_ref[:][None, :].astype(jnp.float32)
+    out_ref[0] = acc2.astype(out_ref.dtype).reshape(rrows, width, cout)
+
+
+@functools.partial(jax.jit, static_argnames=("act_mid", "interpret"))
+def conv3x3_pair_pallas(x, w1, b1, w2, b2, act_mid: str | None = None,
+                        interpret: bool = False):
+    """y = conv3x3(act_mid(conv3x3(x, w1) + b1), w2) + b2, SAME padding,
+    fused into one Pallas kernel (the intermediate never hits HBM).
+
+    Used for the x4 SR head tail: last upsample conv composed with the
+    plane-space conv_last (conv_after_shuffle_weights). Requires
+    H % 8 == 0, W % 8 == 0, W >= 128.
+    """
+    bsz, h, wd, cin = x.shape
+    cmid = w1.shape[-1]
+    cout = w2.shape[-1]
+    r = 8
+    assert h % r == 0 and wd % 8 == 0 and wd >= 128, (h, wd)
+    nch = -(-wd // _MAX_CHUNK)
+    cc = -(-wd // nch // 8) * 8
+    wp = nch * cc
+    xin = x if wp == wd else jnp.pad(x, ((0, 0), (0, 0), (0, wp - wd),
+                                         (0, 0)))
+    nsteps = h // r
+    nrb8 = h // 8
+    ncb = cc // 8
+    ncbt = wp // 8
+
+    kern = functools.partial(
+        _conv3_pair_kernel, rrows=r, width=cc, cmid=cmid, cout=cout,
+        act_mid=act_mid, nsteps=nsteps, nchunks=nch)
+
+    def rt(i):
+        return jnp.maximum(i * (r // 8) - 1, 0)
+
+    def rb(i):
+        return jnp.minimum(i * (r // 8) + r // 8, nrb8 - 1)
+
+    def cl(j):
+        return jnp.maximum(j * ncb - 1, 0)
+
+    def cr(j):
+        return jnp.minimum(j * ncb + ncb, ncbt - 1)
+
+    in_specs = [
+        pl.BlockSpec((1, 8, 8, cin), lambda bi, i, j: (bi, rt(i), cl(j), 0)),
+        pl.BlockSpec((1, 8, cc, cin), lambda bi, i, j: (bi, rt(i), j, 0)),
+        pl.BlockSpec((1, 8, 8, cin), lambda bi, i, j: (bi, rt(i), cr(j), 0)),
+        pl.BlockSpec((1, r, 8, cin), lambda bi, i, j: (bi, i, cl(j), 0)),
+        pl.BlockSpec((1, r, cc, cin), lambda bi, i, j: (bi, i, j, 0)),
+        pl.BlockSpec((1, r, 8, cin), lambda bi, i, j: (bi, i, cr(j), 0)),
+        pl.BlockSpec((1, 8, 8, cin), lambda bi, i, j: (bi, rb(i), cl(j), 0)),
+        pl.BlockSpec((1, 8, cc, cin), lambda bi, i, j: (bi, rb(i), j, 0)),
+        pl.BlockSpec((1, 8, 8, cin), lambda bi, i, j: (bi, rb(i), cr(j), 0)),
+        pl.BlockSpec((3, 3, cin, cmid), lambda bi, i, j: (0, 0, 0, 0)),
+        pl.BlockSpec((cmid,), lambda bi, i, j: (0,)),
+        pl.BlockSpec((3, 3, cmid, cout), lambda bi, i, j: (0, 0, 0, 0)),
+        pl.BlockSpec((cout,), lambda bi, i, j: (0,)),
+    ]
+    y = pl.pallas_call(
+        kern,
+        grid=(bsz, nsteps, nch),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, r, cc, cout),
+                               lambda bi, i, j: (bi, i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, wp, cout), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_BUDGET + 32 * 1024 * 1024),
+        interpret=interpret,
+    )(*([xin] * 9 + [w1, b1, w2, b2]))
+    if wp != wd:
+        y = jax.lax.slice_in_dim(y, 0, wd, axis=2)
+    return y

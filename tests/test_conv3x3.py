@@ -236,3 +236,42 @@ class TestConvAfterShuffle:
         want = _xla_conv(layer_norm_lanes(x, s, t), w)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=3e-5)
+
+    def test_pair_kernel(self, rng):
+        """Fused two-conv chain == two separate SAME convs."""
+        from image_restoration_agent_tpu.ops.conv3x3 import (
+            conv3x3_pair_pallas)
+        x = jnp.asarray(rng.standard_normal((1, 16, 136, 5),
+                                            dtype=np.float32))
+        w1 = jnp.asarray(rng.standard_normal((3, 3, 5, 7),
+                                             dtype=np.float32))
+        b1 = jnp.asarray(rng.standard_normal(7, dtype=np.float32))
+        w2 = jnp.asarray(rng.standard_normal((3, 3, 7, 4),
+                                             dtype=np.float32))
+        b2 = jnp.asarray(rng.standard_normal(4, dtype=np.float32))
+        got = conv3x3_pair_pallas(x, w1, b1, w2, b2, interpret=True)
+        u = _xla_conv(x, w1) + b1[None, None, None, :]
+        want = _xla_conv(u, w2) + b2[None, None, None, :]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
+
+    def test_upsample_tail_fast_vs_fallback(self, rng):
+        from image_restoration_agent_tpu.models import common
+        x = jnp.asarray(rng.standard_normal((1, 16, 128, 4),
+                                            dtype=np.float32))
+        w1 = jnp.asarray(rng.standard_normal((3, 3, 4, 16),
+                                             dtype=np.float32))
+        b1 = jnp.asarray(rng.standard_normal(16, dtype=np.float32))
+        wl = jnp.asarray(rng.standard_normal((3, 3, 4, 3),
+                                             dtype=np.float32))
+        bl = jnp.asarray(rng.standard_normal(3, dtype=np.float32))
+        common.set_conv3x3_mode("off")
+        try:
+            want = common.upsample_tail(x, w1, b1, wl, bl, 2)
+            common.set_conv3x3_mode("interpret")
+            got = common.upsample_tail(x, w1, b1, wl, bl, 2)
+        finally:
+            common.set_conv3x3_mode("auto")
+        assert want.shape == (1, 32, 256, 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
