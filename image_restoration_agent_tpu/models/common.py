@@ -12,8 +12,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.conv3x3 import (conv3x3_pair_pallas, conv3x3_pallas,
-                           conv3x3_supported, conv_after_shuffle_weights)
+from ..ops.conv3x3 import (conv3x3_pallas, conv3x3_supported,
+                           conv_after_shuffle_weights)
 from ..ops.layernorm import layer_norm_2d, layer_norm_bias_free, layer_norm_with_bias
 from ..ops.pixel_shuffle import pixel_shuffle
 
@@ -104,10 +104,16 @@ class ConvParams(nn.Module):
 
 
 def upsample_tail(x, w1, b1, wl, bl, r):
-    """Final pixel-shuffle head stage: upsample conv (cin -> cin*r^2... the
-    declared feature width) + pixel_shuffle(r) + conv_last, computed as two
-    chained plane-space convs in one Pallas kernel when available (the
-    post-upsample intermediate never hits HBM), else the plain XLA chain.
+    """Final pixel-shuffle head stage: upsample conv + pixel_shuffle(r) +
+    conv_last, with both convs in plane space (the conv_last runs
+    pre-shuffle via conv_after_shuffle_weights: r^2 fewer MXU rows and no
+    shuffled-intermediate HBM round trip).
+
+    MEASURED DEAD END: routing both convs through the single fused
+    conv3x3_pair_pallas regresses the 2K x4 headline 1.971 -> 1.801 MP/s —
+    register pressure forces narrow 960-col chunks and the in-kernel
+    chain pipelines worse than two separate kernel launches. Keep the two
+    separate Pallas convs.
 
     Ref contract: network_swinir.py Upsample + conv_last
     (AgenticIR/executor/denoising/tools/SwinIR/models/network_swinir.py:572,
@@ -115,16 +121,19 @@ def upsample_tail(x, w1, b1, wl, bl, r):
     """
     mode = _CONV3X3_MODE
     bsz, h, wd, cin = x.shape
+    cmid = w1.shape[-1]
     fast = (
         mode != "off" and x.ndim == 4
         and (mode == "interpret" or jax.default_backend() == "tpu")
-        and h % 8 == 0 and wd % 8 == 0 and wd >= 128
+        and conv3x3_supported(h, wd, cin, cmid)
+        and conv3x3_supported(h, wd, cmid, wl.shape[-1] * r * r)
     )
     if fast:
+        interp = mode == "interpret"
+        y = conv3x3_pallas(x, w1, b1, interpret=interp)
         w2 = conv_after_shuffle_weights(wl, r)
         b2 = jnp.repeat(bl, r * r)
-        y = conv3x3_pair_pallas(x, w1, b1, w2, b2,
-                                interpret=(mode == "interpret"))
+        y = conv3x3_pallas(y, w2, b2, interpret=interp)
         return pixel_shuffle(y, r)
 
     def conv(z, w, b):

@@ -458,7 +458,10 @@ def conv3x3_pair_pallas(x, w1, b1, w2, b2, act_mid: str | None = None,
     cout = w2.shape[-1]
     r = 8
     assert h % r == 0 and wd % 8 == 0 and wd >= 128, (h, wd)
-    nch = -(-wd // _MAX_CHUNK)
+    # narrower chunks than the single-conv kernel: conv2's nine
+    # (R*CC, cmid) slabs must fit Mosaic's register budget (CC=1920 at
+    # cmid=256 spills 135MB and fails to compile)
+    nch = -(-wd // 960)
     cc = -(-wd // nch // 8) * 8
     wp = nch * cc
     xin = x if wp == wd else jnp.pad(x, ((0, 0), (0, 0), (0, wp - wd),
