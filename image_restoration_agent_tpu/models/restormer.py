@@ -14,13 +14,106 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.gates import gated_gelu
 from ..ops.mdta import mdta_attention
 from ..ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
+from ..ops.restormer_fused import (fused_mode, gdfn_block_pallas,
+                                   mdta_block_pallas,
+                                   restormer_fused_supported)
 from .common import Conv, DWConv, RestormerLayerNorm
 from .registry import ModelSpec, register_model
+
+
+class _RawConv(nn.Module):
+    """Param holder producing the same child tree as Conv/DWConv
+    (child "Conv_0" with kernel/bias) without computing — lets a fused
+    kernel consume raw weights from an unchanged checkpoint layout."""
+
+    shape: tuple
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        b = (self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+             if self.use_bias else None)
+        return w, b
+
+
+class _ConvP(nn.Module):
+    shape: tuple
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        return _RawConv(self.shape, self.use_bias, name="Conv_0")()
+
+
+class _LNP(nn.Module):
+    """RestormerLayerNorm-compatible param holder -> (scale[, bias])."""
+
+    dim: int
+    bias_free: bool
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("weight", nn.initializers.ones, (self.dim,))
+        if self.bias_free:
+            return (w,)
+        return (w, self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+
+class MDTAParams(nn.Module):
+    """MDTABlock-compatible param tree, returned raw for the fused kernel."""
+
+    dim: int
+    num_heads: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        c = self.dim
+        wq, bq = _ConvP((1, 1, c, 3 * c), self.use_bias, name="qkv")()
+        wd, bd = _ConvP((3, 3, 1, 3 * c), self.use_bias,
+                        name="qkv_dwconv")()
+        temp = self.param("temperature", nn.initializers.ones,
+                          (self.num_heads,))
+        wp, bp = _ConvP((1, 1, c, c), self.use_bias, name="project_out")()
+        return wq, bq, wd, bd, wp, bp, temp
+
+
+class GDFNParams(nn.Module):
+    """GDFN-compatible param tree, returned raw for the fused kernel."""
+
+    dim: int
+    expansion: float = 2.66
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        c = self.dim
+        hidden = int(c * self.expansion)
+        wi, bi = _ConvP((1, 1, c, hidden * 2), self.use_bias,
+                        name="project_in")()
+        wd, bd = _ConvP((3, 3, 1, hidden * 2), self.use_bias,
+                        name="dwconv")()
+        wo, bo = _ConvP((1, 1, hidden, c), self.use_bias,
+                        name="project_out")()
+        return wi, bi, wd, bd, wo, bo
+
+
+def use_fused_blocks(x, ftot: int) -> bool:
+    """Route x + block(LN(x)) through the fused Pallas kernels?"""
+    mode = fused_mode()
+    if mode == "off" or x.ndim != 4:
+        return False
+    if mode == "auto" and jax.default_backend() != "tpu":
+        return False
+    b, h, w, c = x.shape
+    return restormer_fused_supported(h, w, c, ftot)
 
 
 class MDTABlock(nn.Module):
@@ -60,6 +153,23 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        c = x.shape[-1]
+        hidden = int(c * self.expansion)
+        if (use_fused_blocks(x, 3 * c)
+                and use_fused_blocks(x, hidden * 2)):
+            interp = fused_mode() == "interpret"
+            ln1 = _LNP(c, self.bias_free_ln, name="norm1")()
+            wq, bq, wd, bd, wp, bp, temp = MDTAParams(
+                c, self.num_heads, self.use_bias, name="attn")()
+            x = mdta_block_pallas(x, ln1, wq, bq, wd, bd, wp, bp, temp,
+                                  num_heads=self.num_heads,
+                                  interpret=interp)
+            ln2 = _LNP(c, self.bias_free_ln, name="norm2")()
+            wi, bi, wdw, bdw, wo, bo = GDFNParams(
+                c, self.expansion, self.use_bias, name="ffn")()
+            return gdfn_block_pallas(x, ln2, wi, bi, wdw, bdw, wo, bo,
+                                     fastmath=x.dtype == jnp.bfloat16,
+                                     interpret=interp)
         y = RestormerLayerNorm(bias_free=self.bias_free_ln, name="norm1")(x)
         x = x + MDTABlock(self.num_heads, self.use_bias, name="attn")(y)
         y = RestormerLayerNorm(bias_free=self.bias_free_ln, name="norm2")(x)

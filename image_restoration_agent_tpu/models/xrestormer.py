@@ -25,7 +25,10 @@ import numpy as np
 
 from .common import Conv, RestormerLayerNorm
 from .registry import ModelSpec, register_model
-from .restormer import Downsample, GDFN, MDTABlock, Upsample
+from ..ops.restormer_fused import fused_mode, gdfn_block_pallas, \
+    mdta_block_pallas
+from .restormer import (Downsample, GDFN, GDFNParams, MDTABlock,
+                        MDTAParams, Upsample, _LNP, use_fused_blocks)
 
 
 @functools.lru_cache(maxsize=32)
@@ -137,17 +140,44 @@ class XTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = x + MDTABlock(self.num_channel_heads, self.use_bias,
-                          name="channel_attn")(
-            RestormerLayerNorm(self.bias_free_ln, name="norm1")(x))
-        x = x + GDFN(self.expansion, self.use_bias, name="channel_ffn")(
-            RestormerLayerNorm(self.bias_free_ln, name="norm2")(x))
+        c = x.shape[-1]
+        hidden = int(c * self.expansion)
+        fused = (use_fused_blocks(x, 3 * c)
+                 and use_fused_blocks(x, hidden * 2))
+        interp = fused_mode() == "interpret"
+
+        def fused_gdfn(x, ln_name, ffn_name):
+            ln = _LNP(c, self.bias_free_ln, name=ln_name)()
+            wi, bi, wd, bd, wo, bo = GDFNParams(
+                c, self.expansion, self.use_bias, name=ffn_name)()
+            return gdfn_block_pallas(x, ln, wi, bi, wd, bd, wo, bo,
+                                     fastmath=x.dtype == jnp.bfloat16,
+                                     interpret=interp)
+
+        if fused:
+            ln1 = _LNP(c, self.bias_free_ln, name="norm1")()
+            wq, bq, wd, bd, wp, bp, temp = MDTAParams(
+                c, self.num_channel_heads, self.use_bias,
+                name="channel_attn")()
+            x = mdta_block_pallas(x, ln1, wq, bq, wd, bd, wp, bp, temp,
+                                  num_heads=self.num_channel_heads,
+                                  interpret=interp)
+            x = fused_gdfn(x, "norm2", "channel_ffn")
+        else:
+            x = x + MDTABlock(self.num_channel_heads, self.use_bias,
+                              name="channel_attn")(
+                RestormerLayerNorm(self.bias_free_ln, name="norm1")(x))
+            x = x + GDFN(self.expansion, self.use_bias, name="channel_ffn")(
+                RestormerLayerNorm(self.bias_free_ln, name="norm2")(x))
         x = x + OCAB(self.dim, self.window_size, self.overlap_ratio,
                      self.num_spatial_heads, self.spatial_dim_head,
                      self.use_bias, name="spatial_attn")(
             RestormerLayerNorm(self.bias_free_ln, name="norm3")(x))
-        x = x + GDFN(self.expansion, self.use_bias, name="spatial_ffn")(
-            RestormerLayerNorm(self.bias_free_ln, name="norm4")(x))
+        if fused:
+            x = fused_gdfn(x, "norm4", "spatial_ffn")
+        else:
+            x = x + GDFN(self.expansion, self.use_bias, name="spatial_ffn")(
+                RestormerLayerNorm(self.bias_free_ln, name="norm4")(x))
         return x
 
 
