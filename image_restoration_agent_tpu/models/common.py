@@ -12,8 +12,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.conv3x3 import (conv3x3_pallas, conv3x3_supported,
-                           conv_after_shuffle_weights)
+from ..ops.conv3x3 import (compose_conv_weights, conv3x3_pallas,
+                           conv3x3_supported, conv_after_shuffle_weights)
 from ..ops.layernorm import layer_norm_2d, layer_norm_bias_free, layer_norm_with_bias
 from ..ops.pixel_shuffle import pixel_shuffle
 
@@ -101,6 +101,109 @@ class ConvParams(nn.Module):
     @nn.compact
     def __call__(self):
         return _ConvP(self.features, self.cin, name="Conv_0")()
+
+
+def conv3x3_xla(x, w, b):
+    """Plain SAME zero-padded conv + bias on the XLA path."""
+    r = w.shape[0] // 2
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), [(r, r), (r, r)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + b.astype(y.dtype)[None, None, None, :]
+
+
+def _shuffle_chain_perm(cout: int, rs) -> "np.ndarray":
+    """Channel permutation turning the chained pixel_shuffle(r_0)..(r_k)
+    into ONE depth-to-space: perm[(i*R + j)*cout + c] = source channel of
+    the composite conv output that the sequential chain would place at
+    spatial offset (i, j), channel c (R = prod(rs))."""
+    import numpy as np
+
+    r_tot = 1
+    for r in rs:
+        r_tot *= r
+    x = np.arange(cout * r_tot * r_tot).reshape(1, 1, 1, -1)
+    for r in rs:
+        _, h, w, crr = x.shape
+        c = crr // (r * r)
+        x = x.reshape(h, w, c, r, r)
+        x = np.moveaxis(x, (-3, -2, -1), (-1, -4, -2))
+        x = x.reshape(1, h * r, w * r, c)
+    return x[0].reshape(-1)
+
+
+def fused_pixelshuffle_head(x, stages, wl, bl, rs, seq_head):
+    """The whole pixel-shuffle SR head as ONE plane-space conv + shuffles.
+
+    The head after conv_before_upsample's LeakyReLU is entirely linear:
+    ``conv_0 -> shuffle(r_0) -> conv_1 -> shuffle(r_1) -> ... -> conv_last``
+    (reference SwinIR ``Upsample`` has no activations between stages —
+    network_swinir.py:572 + conv_last, served by AgentApp/model_service/
+    denoising/SwinIR/model_serving.py). Folding every conv in front of the
+    shuffles via conv_after_shuffle_weights and composing them collapses
+    the wide intermediates (64*r^2 channels at r*H x r*W — 2.2 GB of HBM
+    round trips at the 2K x4 headline) into one small (5, 5, Cin, Cout*R^2)
+    conv at base resolution: measured ~60 ms -> ~6 ms per 552x1920 band.
+
+    Zero-padding semantics of the composed conv differ from the sequential
+    form in a thin border ring (the sequential form zero-pads each
+    intermediate), so the ring is recomputed with ``seq_head`` on 4 thin
+    border strips and pasted — the result is exact everywhere.
+
+    Args:
+        x: (B, H, W, C) input (post conv_before_upsample activation).
+        stages: [(w_i, b_i)] per upsample-stage conv, one per entry of rs.
+        wl, bl: conv_last weights.
+        rs: pixel-shuffle factor per stage (e.g. [2, 2] for x4).
+        seq_head: callable (B, h, w, C) -> (B, h*R, w*R, Cout) computing
+            the sequential head (used for the border strips).
+    """
+    w, b = wl.astype(jnp.float32), bl.astype(jnp.float32)
+    for (wi, bi), r in zip(reversed(stages), reversed(rs)):
+        w = conv_after_shuffle_weights(w, r)
+        b = jnp.repeat(b, r * r)
+        w, b = compose_conv_weights(wi, bi, w, b)
+
+    # fold the chained-shuffle channel order into the conv weights so the
+    # whole chain becomes ONE depth-to-space transpose (measured: chained
+    # r=2 shuffles after a materialized producer cost ~60 ms at the 2K x4
+    # headline band; one permuted transpose ~26 ms; the barrier keeps XLA
+    # from fusing the transpose into the conv epilogue)
+    cout = wl.shape[-1]
+    r_tot = 1
+    for r in rs:
+        r_tot *= r
+    perm = _shuffle_chain_perm(cout, rs)
+    w, b = w[..., perm], b[perm]
+
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1),
+        [(w.shape[0] // 2,) * 2, (w.shape[1] // 2,) * 2],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + b.astype(jnp.float32)[None, None, None, :].astype(y.dtype)
+    y = jax.lax.optimization_barrier(y)
+    bsz, hh, ww, _ = y.shape
+    y = y.reshape(bsz, hh, ww, r_tot, r_tot, cout)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
+        bsz, hh * r_tot, ww * r_tot, cout)
+
+    # border ring: divergence is bounded by the composite kernel radius
+    # (w.shape[0] // 2 plane px); recompute a 4-px plane ring sequentially
+    s = r_tot
+    ring, ctx = 4, 12  # plane px; ctx >= ring + composite radius
+    h, wd = x.shape[1], x.shape[2]
+    if h <= ctx or wd <= ctx:
+        return seq_head(x)
+    ro, co = ring * s, ctx * s
+    top = seq_head(x[:, :ctx])[:, :ro]
+    bot = seq_head(x[:, -ctx:])[:, -ro:]
+    left = seq_head(x[:, :, :ctx])[:, :, :ro]
+    right = seq_head(x[:, :, -ctx:])[:, :, -ro:]
+    y = y.at[:, :ro].set(top.astype(y.dtype))
+    y = y.at[:, -ro:].set(bot.astype(y.dtype))
+    y = y.at[:, :, :ro].set(left.astype(y.dtype))
+    y = y.at[:, :, -ro:].set(right.astype(y.dtype))
+    return y
 
 
 def upsample_tail(x, w1, b1, wl, bl, r):

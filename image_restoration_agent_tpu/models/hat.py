@@ -25,7 +25,8 @@ from ..ops.pixel_shuffle import pixel_shuffle
 from ..ops.window_attention import (
     shift_attention_mask, window_attention, window_partition, window_reverse,
 )
-from .common import Conv, ConvParams, LNParams, upsample_tail
+from .common import (Conv, ConvParams, LNParams, conv3x3_xla,
+                     fused_pixelshuffle_head, upsample_tail)
 from .registry import ModelSpec, register_model
 from .swinir import RGB_MEAN, WindowAttentionLayer
 
@@ -271,18 +272,21 @@ class HAT(nn.Module):
         while s > 1:
             rs.append(3 if s % 3 == 0 else 2)
             s //= rs[-1]
-        for stage, r in enumerate(rs[:-1]):
-            y = Conv(self.num_feat * r * r, kernel=3, shuffle=r,
-                     name=f"upsample{stage}")(y)
         if rs:
-            # final upsample conv + shuffle + conv_last fused (see
-            # common.upsample_tail)
-            r = rs[-1]
-            w1, b1 = ConvParams(self.num_feat * r * r, self.num_feat,
-                                name=f"upsample{len(rs) - 1}")()
+            # the whole linear head as one composed plane-space conv (see
+            # common.fused_pixelshuffle_head)
+            stages = [ConvParams(self.num_feat * r * r, self.num_feat,
+                                 name=f"upsample{stage}")()
+                      for stage, r in enumerate(rs)]
             wl, bl = ConvParams(self.img_channels, self.num_feat,
                                 name="conv_last")()
-            y = upsample_tail(y, w1, b1, wl, bl, r)
+
+            def seq_head(z):
+                for (w, b), r in zip(stages[:-1], rs[:-1]):
+                    z = pixel_shuffle(conv3x3_xla(z, w, b), r)
+                return upsample_tail(z, *stages[-1], wl, bl, rs[-1])
+
+            y = fused_pixelshuffle_head(y, stages, wl, bl, rs, seq_head)
         else:
             y = Conv(self.img_channels, kernel=3, name="conv_last")(y)
         return y / self.img_range + mean

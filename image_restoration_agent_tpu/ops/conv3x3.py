@@ -358,23 +358,53 @@ def conv_after_shuffle_weights(w, r: int):
     the r*H x r*W intermediate (2.2GB at 2K x4) never hits HBM.
 
     Args:
-        w: (3, 3, Cin, Cout) weights of the conv applied after the shuffle.
+        w: (k, k, Cin, Cout) weights (k odd) of the conv applied after the
+            shuffle.
         r: the pixel-shuffle factor.
     Returns:
-        (3, 3, Cin * r^2, Cout * r^2) weights for the plane-space conv.
+        (kp, kp, Cin * r^2, Cout * r^2) weights for the plane-space conv,
+        where kp = 2 * ceil((k // 2) / r) + 1.
         (For bias use ``jnp.repeat(b, r * r)``.)
     """
-    _, _, cin, cout = w.shape
-    wp = jnp.zeros((3, 3, cin * r * r, cout * r * r), w.dtype)
+    k, _, cin, cout = w.shape
+    assert k % 2 == 1, k
+    rad = k // 2
+    radp = -(-rad // r)
+    kp = 2 * radp + 1
+    wp = jnp.zeros((kp, kp, cin * r * r, cout * r * r), w.dtype)
     for i in range(r):
         for j in range(r):
-            for dy in (-1, 0, 1):
-                for dx in (-1, 0, 1):
+            for dy in range(-rad, rad + 1):
+                for dx in range(-rad, rad + 1):
                     a, dyp = (i + dy) % r, (i + dy) // r
                     bb, dxp = (j + dx) % r, (j + dx) // r
-                    wp = wp.at[dyp + 1, dxp + 1, a * r + bb::r * r,
-                               i * r + j::r * r].set(w[dy + 1, dx + 1])
+                    wp = wp.at[dyp + radp, dxp + radp, a * r + bb::r * r,
+                               i * r + j::r * r].set(w[dy + rad, dx + rad])
     return wp
+
+
+def compose_conv_weights(wa, ba, wb, bb):
+    """Weights/bias of ``conv_b(conv_a(x) + ba) + bb`` as ONE conv.
+
+    Both convs are SAME/zero-padded, odd square kernels; the composite has
+    kernel ka + kb - 1. Exact in the interior; within a (ka//2 + kb//2)-px
+    border ring the zero padding semantics differ (the sequential form
+    zero-pads the *intermediate*, and conv_a's bias is truncated by
+    conv_b's padding there) — callers must patch the ring with the
+    sequential path (see models/common.py fused_pixelshuffle_head).
+    """
+    ka, _, cin, cmid = wa.shape
+    kb, _, _, cout = wb.shape
+    waf = wa.astype(jnp.float32)
+    wbf = wb.astype(jnp.float32)
+    w = jnp.zeros((ka + kb - 1, ka + kb - 1, cin, cout), jnp.float32)
+    for dy in range(kb):
+        for dx in range(kb):
+            w = w.at[dy:dy + ka, dx:dx + ka].add(
+                jnp.einsum("ijcm,mo->ijco", waf, wbf[dy, dx]))
+    b = (bb.astype(jnp.float32)
+         + ba.astype(jnp.float32) @ wbf.sum(axis=(0, 1)))
+    return w, b
 
 
 def _conv3_pair_kernel(tl, tc, tr, ml, mc, mr, bl, bc, br, w1_ref, b1_ref,
