@@ -386,13 +386,16 @@ def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
 
     ``ccols`` (column-chunked full-canvas mode): 2 when the caller runs a
     2D grid (row-strips x column-chunks) over a canvas wider than one
-    chunk. The column part of the folded cyclic roll then spans chunk
-    boundaries, so the kernel receives TWO column chunks per row group
-    (4 x refs ordered [r0c0, r1c0, r0c1, r1c1], modular chunk index maps)
-    and slices the rolled window at static offset ``s0``. This keeps the
-    Mosaic program (and its compile time) at single-chunk width while the
-    grid covers the whole image — the untiled path that removes the
-    tile-overlap redundancy of tiled serving.
+    chunk with a roll. The column part of the folded cyclic roll then
+    spans chunk boundaries, so the kernel receives one full chunk plus an
+    8-col boundary SLIVER per row group (4 x refs ordered [r0_chunk,
+    r1_chunk, r0_sliver, r1_sliver], modular index maps in sliver units)
+    and slices the rolled window at static offset ``s0``. The sliver
+    (instead of a second full chunk) keeps shifted-block read traffic at
+    ~1.03x instead of 2x. This keeps the Mosaic program (and its compile
+    time) at single-chunk width while the grid covers the whole image —
+    the untiled path that removes the tile-overlap redundancy of tiled
+    serving.
     """
     nx = 2 * rrows * ccols
     xrefs = args[:nx]
@@ -417,11 +420,14 @@ def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
     ngr = num_heads // 2
 
     if ccols == 2:
-        # column-chunked: the two chunks that contain this output chunk's
-        # rolled columns; slice the rolled window at static offset s0
-        left = jnp.concatenate([r[0, 0] for r in xrefs[:2 * rrows]], axis=0)
-        right = jnp.concatenate([r[0, 0] for r in xrefs[2 * rrows:]], axis=0)
-        both = jnp.concatenate([left, right], axis=1)
+        # column-chunked with a roll: ONE full chunk + an 8-col boundary
+        # sliver per row group (the cyclic roll only needs |dc| <= 8
+        # columns past the chunk edge, so fetching a second full chunk
+        # would double read traffic for nothing); slice the rolled window
+        # at static offset s0
+        ch = jnp.concatenate([r[0, 0] for r in xrefs[:2 * rrows]], axis=0)
+        sl = jnp.concatenate([r[0, 0] for r in xrefs[2 * rrows:]], axis=0)
+        both = jnp.concatenate([ch, sl] if dc < 0 else [sl, ch], axis=1)
         rows = both[:, s0:s0 + w, :]
     else:
         rows = jnp.concatenate([r[0, 0] for r in xrefs], axis=0)
@@ -598,6 +604,50 @@ def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
             if ablate == "asmonly":  # perf probe: km/vm assembly cost only
                 attn_ref[p0 * m:(p0 + cp_n) * m, :] = \
                     v_ref[p0 * m:(p0 + cp_n) * m, :]
+                continue
+            if fastmath and ablate != "nosm":
+                # fused pair-group path: qk dot -> clamp-softmax -> AV all
+                # in registers per (pair, head-group); the (rows, heads*m)
+                # logits and p matrices never round-trip through the lg/p
+                # VMEM scratches (~5.8 MB/grid-step of VMEM traffic saved;
+                # clamp-softmax needs no max pass so no cross-lane state
+                # survives between stages)
+                for pi in range(cp_n):
+                    g = p0 + pi
+                    rr = g // npair_row
+                    sel = 1 if (g % npair_row) == npair_row - 1 else 0
+                    for gr in range(ngr):
+                        q2 = q_ref[g * m:(g + 1) * m,
+                                   2 * gr * hp:(2 * gr + 2) * hp]
+                        base = (pi * ngr + gr) * 2 * m
+                        km2 = km_ref[base:base + 2 * m, :]
+                        lg = jax.lax.dot_general(
+                            q2, km2, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) \
+                            + bias_ref[0, rr, sel,
+                                       :, 2 * gr * m:(2 * gr + 2) * m]
+                        # logits arrive pre-scaled by log2(e) (folded into
+                        # wq/bias at trace time): native exp2, no per-
+                        # logit multiply; clamp = 60 * log2(e). (Measured
+                        # dead end: feeding UNNORMALIZED e to the AV dot
+                        # and normalizing the (m, hp) outputs via a
+                        # block-diag ones dot — 14.22 vs 12.34 ms/block;
+                        # the extra dot + output divides cost more than
+                        # the lane reduces they replace.)
+                        e = jnp.exp2(jnp.minimum(lg, 86.56))
+                        p01 = jnp.concatenate(
+                            [e[:, :m] / jnp.sum(e[:, :m], axis=1,
+                                                keepdims=True),
+                             e[:, m:] / jnp.sum(e[:, m:], axis=1,
+                                                keepdims=True)],
+                            axis=1).astype(vm_ref.dtype)
+                        vm2 = vm_ref[base:base + 2 * m, :]
+                        ov = jax.lax.dot_general(
+                            p01, vm2, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        attn_ref[g * m:(g + 1) * m,
+                                 2 * gr * hp:(2 * gr + 2) * hp] = \
+                            ov.astype(attn_ref.dtype)
                 continue
             for pi in range(cp_n):
                 g = p0 + pi
@@ -878,7 +928,11 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
             # (5.24 vs 5.65 ms at W=256): the traced-offset km/vm stores
             # cost more than the softmax batching saves
             chunk = 1
-        bias2 = _paired_bias(rpb, mask_bank, num_heads, n)
+        # fastmath g2: fold log2(e) into the logit scale (q weights and
+        # bias) so the kernel's clamp-softmax uses native exp2 without a
+        # per-logit multiply; the exact path keeps natural-log logits
+        log2e = 1.4426950408889634 if (fastmath and g2 is True) else 1.0
+        bias2 = _paired_bias(rpb, mask_bank, num_heads, n) * log2e
         interior, row_edge = bias2[0], bias2[1]
         if ncols > 1:
             # (4, 1, 2, m, H*m): leading index = 2*is_row_edge + is_col
@@ -925,18 +979,34 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
 
         if ncols > 1:
             ccols = 2 if dc else 1
-            c0 = -1 if dc > 0 else 0
-            s0 = (-dc) if dc < 0 else (wchunk - dc if dc > 0 else 0)
+            # the cyclic roll only needs |dc| columns past the chunk edge:
+            # fetch the boundary as an 8-col sliver ref instead of a second
+            # full chunk (shifted-block read traffic 2x -> ~1.03x)
+            svw = 8
+            assert abs(dc) <= svw, (dc, svw)
+            s0 = (-dc) if dc < 0 else (svw - dc if dc > 0 else 0)
+            nsl = w // svw      # canvas width in sliver units
+            spc = wchunk // svw  # sliver units per chunk
 
-            def idxp2(roff, coff):
+            def idxc(roff):
                 def f(i, j):
                     img, r = i // steps_per_img, i % steps_per_img
                     return (img * groups + (2 * r + d0 + roff) % groups,
-                            0, 0, (j + c0 + coff) % ncols, 0)
+                            0, 0, j, 0)
                 return f
 
-            in_maps = [idxp2(roff, coff)
-                       for coff in range(ccols) for roff in range(2)]
+            def idxs(roff):
+                def f(i, j):
+                    img, r = i // steps_per_img, i % steps_per_img
+                    blk = ((j + 1) * spc) % nsl if dc < 0 \
+                        else (j * spc - 1) % nsl
+                    return (img * groups + (2 * r + d0 + roff) % groups,
+                            0, 0, blk, 0)
+                return f
+
+            in_maps = [idxc(0), idxc(1)] \
+                + ([idxs(0), idxs(1)] if dc else [])
+            in_widths = [wchunk] * 2 + ([svw] * 2 if dc else [])
             out_spec = pl.BlockSpec((1, 1, ws, wchunk, c),
                                     lambda i, j: (i, 0, 0, j, 0),
                                     memory_space=pltpu.VMEM)
@@ -944,6 +1014,7 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         else:
             ccols, s0 = 1, 0
             in_maps = [idxp(d0 + jj) for jj in range(2 * rrows)]
+            in_widths = [w] * len(in_maps)
             out_spec = pl.BlockSpec((1, 1, rrows * ws, w, c),
                                     lambda i: (i, 0, 0, 0, 0),
                                     memory_space=pltpu.VMEM)
@@ -971,7 +1042,8 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                         pb.append(jnp.zeros((hp2 - hd,), bvec.dtype))
                 return jnp.concatenate(pw, axis=1), jnp.concatenate(pb)
 
-            wq_a, bq_a = pad_cols_g2(wqkv[:, :c] * scale, bqkv[:c] * scale)
+            wq_a, bq_a = pad_cols_g2(wqkv[:, :c] * (scale * log2e),
+                                     bqkv[:c] * (scale * log2e))
             wk_a, bk_a = pad_cols_g2(wqkv[:, c:2 * c], bqkv[c:2 * c])
             wv_a, bv_a = pad_cols_g2(wqkv[:, 2 * c:], bqkv[2 * c:])
             prj = []
@@ -1005,9 +1077,9 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         kv_rows = (chunk * num_heads * m) if not g2 \
             else (chunk * (num_heads // 2) * 2 * m)
         kv_cols = c if not g2 else 2 * hp2
-        in_specs = [pl.BlockSpec((1, 1, s, wchunk, c), im,
+        in_specs = [pl.BlockSpec((1, 1, s, iw, c), im,
                                  memory_space=pltpu.VMEM)
-                    for im in in_maps]
+                    for im, iw in zip(in_maps, in_widths)]
         out = pl.pallas_call(
             kernel,
             grid=grid,

@@ -11,7 +11,7 @@ import sys
 import time
 
 CONFIGS = [None, "nafnet_denoise", "restormer_720p", "gan_sr_jpeg_batch",
-           "agent_p50"]
+           "agent_p50", "agent_p50_full", "diffbir_sr"]
 
 
 def main():
