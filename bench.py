@@ -136,6 +136,7 @@ def main() -> None:
     # single-shot 1080p x4 head OOMs: ~8GB conv_last activation), at
     # ~1.5% overlap redundancy vs tiled-256's 42%.
     pad_to = None
+    packed_c = 1
     if tile is None and args.model.startswith("swinir"):
         from image_restoration_agent_tpu.ops.pallas_attention import (
             pad_width_for_strips)
@@ -148,6 +149,12 @@ def main() -> None:
         bh = -(-(ph + (n_bands - 1) * ov) // n_bands // 8) * 8
         tile = (bh, pw)
         args.overlap, args.batch = ov, 1
+        if spec.scale > 1:
+            # packed-RGB output: the x4 head's channels-last device
+            # transpose is the head's main cost; packed output is
+            # byte-identical row-major (host reshape view is free)
+            model = build_model(args.model, packed_output=True)
+            packed_c = 3
 
     pad_multiple = spec.pad_multiple if tile is not None \
         else max(spec.pad_multiple, spec.whole_pad_multiple)
@@ -158,11 +165,14 @@ def main() -> None:
             fwd, img, tile=tile, overlap=args.overlap,
             scale=spec.scale, batch=args.batch,
             pad_multiple=pad_multiple, pad_mode=spec.pad_mode,
-            pad_kind=spec.pad_kind, pad_to=pad_to)
+            pad_kind=spec.pad_kind, pad_to=pad_to, packed_c=packed_c)
 
     # warmup / compile
     out = run(img)
     out.block_until_ready()
+    if packed_c > 1:  # free host view back to (H*s, W*s, 3)
+        final = np.asarray(out).reshape(h * spec.scale, w * spec.scale, 3)
+        assert final.shape[-1] == 3
 
     times = []
     for _ in range(args.repeats):

@@ -102,29 +102,43 @@ def extract_tiles(img: jnp.ndarray, plan: TilePlan) -> jnp.ndarray:
     return jax.vmap(gather)(offsets)
 
 
-def _weight_canvas(plan: TilePlan, scale: int, n_valid: int | None = None) -> np.ndarray:
-    """Compile-time constant overlap-count canvas (the reference's W buffer)."""
+def _weight_canvas(plan: TilePlan, scale: int, n_valid: int | None = None,
+                   scale_w: int | None = None) -> np.ndarray:
+    """Compile-time constant overlap-count canvas (the reference's W buffer).
+
+    ``scale_w`` overrides the column-axis scale (packed-channel outputs
+    fold C into the W axis, so columns scale by scale * C)."""
     th, tw, s = plan.tile_h, plan.tile_w, scale
-    w = np.zeros((plan.height * s, plan.width * s, 1), dtype=np.float32)
+    sw = scale if scale_w is None else scale_w
+    w = np.zeros((plan.height * s, plan.width * sw, 1), dtype=np.float32)
     for i, (oh, ow) in enumerate(plan.offsets):
         if n_valid is not None and i >= n_valid:
             break
-        w[oh * s : (oh + th) * s, ow * s : (ow + tw) * s] += 1.0
+        w[oh * s : (oh + th) * s, ow * sw : (ow + tw) * sw] += 1.0
     return w
 
 
 def blend_tiles(
-    tiles: jnp.ndarray, plan: TilePlan, scale: int = 1
+    tiles: jnp.ndarray, plan: TilePlan, scale: int = 1,
+    scale_w: int | None = None,
 ) -> jnp.ndarray:
     """Overlap-blend ``(N, th*s, tw*s, C)`` tile outputs onto the canvas.
 
     Implements the reference E/W accumulate-then-divide
-    (model_serving.py:154-166) with W folded into a constant.
+    (model_serving.py:154-166) with W folded into a constant. With
+    ``scale_w`` the tiles are packed ``(N, th*s, tw*scale_w)`` (channels
+    folded into the column axis) and the blend runs in packed space.
     """
+    packed = scale_w is not None
+    if packed:
+        tiles = tiles[..., None]
     n, ths, tws = tiles.shape[0], tiles.shape[1], tiles.shape[2]
     c = tiles.shape[-1]
-    offsets = jnp.asarray(plan.offsets[:n] * scale)
-    canvas = jnp.zeros((plan.height * scale, plan.width * scale, c), tiles.dtype)
+    sw = scale if scale_w is None else scale_w
+    offsets = jnp.asarray(plan.offsets[:n] * np.array([scale, sw],
+                                                      dtype=np.int32))
+    canvas = jnp.zeros((plan.height * scale, plan.width * sw, c),
+                       tiles.dtype)
 
     def body(e, inp):
         patch, off = inp
@@ -133,8 +147,10 @@ def blend_tiles(
         return e, None
 
     canvas, _ = jax.lax.scan(body, canvas, (tiles, offsets))
-    weight = jnp.asarray(_weight_canvas(plan, scale, n_valid=n))
-    return canvas / weight
+    weight = jnp.asarray(_weight_canvas(plan, scale, n_valid=n,
+                                        scale_w=scale_w))
+    canvas = canvas / weight
+    return canvas[..., 0] if packed else canvas
 
 
 def _batched_apply(
@@ -156,8 +172,12 @@ def _batched_apply(
         tiles = jnp.concatenate([tiles, tiles[:n_pad]], axis=0)
     chunks = tiles.reshape(-1, batch, th, tw, c)
     out_chunks = jax.lax.map(fn, chunks)
-    out = out_chunks.reshape(-1, th * scale, tw * scale,
-                             out_chunks.shape[-1])
+    if out_chunks.ndim == 4:  # packed model output (B, th*s, tw*s*C)
+        out = out_chunks.reshape(-1, out_chunks.shape[2],
+                                 out_chunks.shape[3])
+    else:
+        out = out_chunks.reshape(-1, th * scale, tw * scale,
+                                 out_chunks.shape[-1])
     return out[:n]
 
 
@@ -172,6 +192,7 @@ def tiled_apply(
     pad_mode: str = "ceil",
     pad_kind: str = "symmetric",
     pad_to: tuple[int, int] | None = None,
+    packed_c: int = 1,
 ) -> jnp.ndarray:
     """Fused pad -> tile -> batched forward -> blend -> crop on one image.
 
@@ -190,9 +211,15 @@ def tiled_apply(
         pad_to: explicit padded canvas (H', W') overriding pad_multiple —
             the untiled TPU path pads W to a strip-chunkable width
             (ops.pallas_attention.pad_width_for_strips).
+        packed_c: when > 1, ``fn`` emits PACKED ``(B, t*s, t*s*packed_c)``
+            outputs (channels interleaved into the column axis); blending
+            and cropping run in packed space and the return value is
+            ``(H*scale, W*scale*packed_c)`` — byte-identical row-major to
+            the NHWC image, so the host reshape view is free.
 
     Returns:
-        ``(H*scale, W*scale, C')`` restored image.
+        ``(H*scale, W*scale, C')`` restored image, or the packed 2D form
+        when ``packed_c > 1``.
     """
     if pad_to is not None:
         h0, w0 = img.shape[-3], img.shape[-2]
@@ -207,11 +234,14 @@ def tiled_apply(
 
     th, tw = (tile, tile) if tile is None or isinstance(tile, int) \
         else tile
+    scale_w = scale * packed_c if packed_c > 1 else None
     if tile is None or (th >= h and tw >= w):
         out = fn(padded[None])[0]
     else:
         plan = plan_tiles(h, w, tile, overlap)
         tiles = extract_tiles(padded, plan)
         outs = _batched_apply(fn, tiles, batch, scale)
-        out = blend_tiles(outs, plan, scale)
+        out = blend_tiles(outs, plan, scale, scale_w=scale_w)
+    if packed_c > 1:
+        return out[: h0 * scale, : w0 * scale * packed_c]
     return out[: h0 * scale, : w0 * scale, :]

@@ -122,7 +122,25 @@ class Engine:
         fn = self._jit_cache.get(key)
         if fn is None:
             spec = get_spec(name)
-            model = build_model(name)
+            # whole-canvas band serving (see ModelSpec.band_mode): full-
+            # width row bands with packed-RGB SR output; the ensemble path
+            # keeps the plain layout (it rotates the output canvas)
+            band = (tile is None and spec.band_mode
+                    and not ensemble_times)
+            pad_to = band_tile = None
+            packed_c = 1
+            if band:
+                from ..ops.pallas_attention import pad_width_for_strips
+
+                ph = -(-h // spec.pad_multiple) * spec.pad_multiple
+                pw = pad_width_for_strips(w)
+                ov = 16
+                n_bands = max(2, -(-(ph * pw) // 1_100_000))
+                bh = -(-(ph + (n_bands - 1) * ov) // n_bands // 8) * 8
+                pad_to, band_tile, overlap, batch = (ph, pw), (bh, pw), ov, 1
+                packed_c = 3 if spec.scale > 1 else 1
+            model = build_model(name, **(
+                {"packed_output": True} if packed_c > 1 else {}))
 
             def fwd(params, batch_tiles):
                 x = batch_tiles.astype(self.param_dtype)
@@ -133,10 +151,12 @@ class Engine:
 
             def one(params, img):
                 return tiled_apply(
-                    lambda b: fwd(params, b), img, tile=tile,
+                    lambda b: fwd(params, b), img,
+                    tile=band_tile if band else tile,
                     overlap=overlap, scale=spec.scale, batch=batch,
                     pad_multiple=pad_multiple, pad_mode=spec.pad_mode,
-                    pad_kind=spec.pad_kind)
+                    pad_kind=spec.pad_kind, pad_to=pad_to,
+                    packed_c=packed_c)
 
             def pipeline(params, img):
                 # geometric self-ensemble x4/x8: average over rotations
@@ -155,7 +175,7 @@ class Engine:
                             jnp.rot90(one(params, jnp.rot90(f, k)), 4 - k)))
                 return sum(outs) / len(outs)
 
-            fn = jax.jit(pipeline)
+            fn = (jax.jit(pipeline), packed_c)
             self._jit_cache[key] = fn
         return fn
 
@@ -206,10 +226,14 @@ class Engine:
                          mode=pad_kind)
 
         params = self.store.get(model_name)
-        fn = self._pipeline(model_name, hb, wb, tile, overlap, batch,
-                            ensemble_times if ensemble else 0)
+        fn, packed_c = self._pipeline(model_name, hb, wb, tile, overlap,
+                                      batch, ensemble_times if ensemble
+                                      else 0)
         out = fn(params, jnp.asarray(img, jnp.float32))
         out = np.asarray(jax.device_get(out))
+        if packed_c > 1:  # packed-RGB: free row-major view back to NHWC
+            out = out.reshape(out.shape[0], out.shape[1] // packed_c,
+                              packed_c)
         out = out[: h0 * spec.scale, : w0 * spec.scale]
         out = np.clip(out, 0.0, 1.0)
         dt = time.perf_counter() - t0

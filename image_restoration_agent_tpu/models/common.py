@@ -132,7 +132,8 @@ def _shuffle_chain_perm(cout: int, rs) -> "np.ndarray":
     return x[0].reshape(-1)
 
 
-def fused_pixelshuffle_head(x, stages, wl, bl, rs, seq_head):
+def fused_pixelshuffle_head(x, stages, wl, bl, rs, seq_head,
+                            packed: bool = False):
     """The whole pixel-shuffle SR head as ONE plane-space conv + shuffles.
 
     The head after conv_before_upsample's LeakyReLU is entirely linear:
@@ -157,6 +158,11 @@ def fused_pixelshuffle_head(x, stages, wl, bl, rs, seq_head):
         rs: pixel-shuffle factor per stage (e.g. [2, 2] for x4).
         seq_head: callable (B, h, w, C) -> (B, h*R, w*R, Cout) computing
             the sequential head (used for the border strips).
+        packed: emit ``(B, H*R, W*R*Cout)`` with channels interleaved into
+            the minor axis (row-major identical bytes to the NHWC output,
+            so a host-side reshape view is free). Skips the expensive
+            channels-last device transpose: the packed d2s needs only ONE
+            middle-axis swap.
     """
     w, b = wl.astype(jnp.float32), bl.astype(jnp.float32)
     for (wi, bi), r in zip(reversed(stages), reversed(rs)):
@@ -183,26 +189,37 @@ def fused_pixelshuffle_head(x, stages, wl, bl, rs, seq_head):
     y = y + b.astype(jnp.float32)[None, None, None, :].astype(y.dtype)
     y = jax.lax.optimization_barrier(y)
     bsz, hh, ww, _ = y.shape
-    y = y.reshape(bsz, hh, ww, r_tot, r_tot, cout)
-    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
-        bsz, hh * r_tot, ww * r_tot, cout)
+    if packed:
+        # (B,H,W, i, j*cout) -> (B, H, i, W, j*cout): one axis swap, minor
+        # dim untouched
+        y = y.reshape(bsz, hh, ww, r_tot, r_tot * cout)
+        y = y.transpose(0, 1, 3, 2, 4).reshape(
+            bsz, hh * r_tot, ww * r_tot * cout)
+    else:
+        y = y.reshape(bsz, hh, ww, r_tot, r_tot, cout)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
+            bsz, hh * r_tot, ww * r_tot, cout)
 
     # border ring: divergence is bounded by the composite kernel radius
     # (w.shape[0] // 2 plane px); recompute a 4-px plane ring sequentially
     s = r_tot
     ring, ctx = 4, 12  # plane px; ctx >= ring + composite radius
     h, wd = x.shape[1], x.shape[2]
+    def pk(z):  # pack an NHWC strip (free byte-wise reshape)
+        return z.reshape(z.shape[0], z.shape[1], -1) if packed else z
+
     if h <= ctx or wd <= ctx:
-        return seq_head(x)
-    ro, co = ring * s, ctx * s
-    top = seq_head(x[:, :ctx])[:, :ro]
-    bot = seq_head(x[:, -ctx:])[:, -ro:]
-    left = seq_head(x[:, :, :ctx])[:, :, :ro]
-    right = seq_head(x[:, :, -ctx:])[:, :, -ro:]
+        return pk(seq_head(x))
+    ro = ring * s
+    rc = ro * cout if packed else ro  # ring width on y's column axis
+    top = pk(seq_head(x[:, :ctx])[:, :ro])
+    bot = pk(seq_head(x[:, -ctx:])[:, -ro:])
+    left = pk(seq_head(x[:, :, :ctx])[:, :, :ro])
+    right = pk(seq_head(x[:, :, -ctx:])[:, :, -ro:])
     y = y.at[:, :ro].set(top.astype(y.dtype))
     y = y.at[:, -ro:].set(bot.astype(y.dtype))
-    y = y.at[:, :, :ro].set(left.astype(y.dtype))
-    y = y.at[:, :, -ro:].set(right.astype(y.dtype))
+    y = y.at[:, :, :rc].set(left.astype(y.dtype))
+    y = y.at[:, :, -rc:].set(right.astype(y.dtype))
     return y
 
 

@@ -246,6 +246,8 @@ class HAT(nn.Module):
     num_feat: int = 64
     img_range: float = 1.0
     attention_impl: str = "auto"
+    # (B, H*s, W*s*3) packed-RGB output; see swinir.SwinIR.packed_output
+    packed_output: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -286,9 +288,14 @@ class HAT(nn.Module):
                     z = pixel_shuffle(conv3x3_xla(z, w, b), r)
                 return upsample_tail(z, *stages[-1], wl, bl, rs[-1])
 
-            y = fused_pixelshuffle_head(y, stages, wl, bl, rs, seq_head)
+            y = fused_pixelshuffle_head(y, stages, wl, bl, rs, seq_head,
+                                        packed=self.packed_output)
         else:
             y = Conv(self.img_channels, kernel=3, name="conv_last")(y)
+        if self.packed_output:
+            assert y.ndim == 3, "packed_output needs the fused head"
+            mean_row = jnp.tile(mean.reshape(3), y.shape[2] // 3)
+            return y / self.img_range + mean_row[None, None, :]
         return y / self.img_range + mean
 
 

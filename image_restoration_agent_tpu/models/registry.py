@@ -38,6 +38,13 @@ class ModelSpec:
     # geometric self-ensemble: average the model over the 8 dihedral
     # flips/rotations (reference MAXIM serving model_serving.py:123-163)
     self_ensemble: bool = False
+    # whole-canvas serving as full-width row bands (the untiled TPU path):
+    # bounds the x4 head's HBM while paying ~1.5% overlap redundancy vs
+    # tiled-256's 42%; SR models also emit packed-RGB outputs (the
+    # channels-last transpose is the head's main cost — see
+    # models/common.fused_pixelshuffle_head). Measured 1.0 -> 2.1 MP/s on
+    # the 2K x4 SwinIR headline vs tiled-256.
+    band_mode: bool = False
     config: dict = dataclasses.field(default_factory=dict)
 
 

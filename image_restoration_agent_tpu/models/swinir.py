@@ -279,6 +279,10 @@ class SwinIR(nn.Module):
     num_feat: int = 64           # head width for the pixelshuffle upsampler
     attention_impl: str = "auto"  # window attention backend
     unshuffle_scale: int = 0     # DiffBIR stage-1: pixel-unshuffle input by 8
+    # emit (B, H*s, W*s*3) with RGB interleaved into the minor axis
+    # (byte-identical to NHWC row-major: host reshape view is free; skips
+    # the channels-last device transpose). pixelshuffle upsampler only.
+    packed_output: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -330,7 +334,8 @@ class SwinIR(nn.Module):
                         z = pixel_shuffle(z, r)
                     return upsample_tail(z, *stages[-1], wl, bl, rs[-1])
 
-                y = fused_pixelshuffle_head(y, stages, wl, bl, rs, seq_head)
+                y = fused_pixelshuffle_head(y, stages, wl, bl, rs, seq_head,
+                                            packed=self.packed_output)
             else:
                 y = Conv(self.img_channels, kernel=3, name="conv_last")(y)
         elif self.upsampler == "pixelshuffledirect":
@@ -356,6 +361,13 @@ class SwinIR(nn.Module):
         else:  # denoising / JPEG artifact removal: global residual
             y = Conv(self.img_channels, kernel=3, name="conv_last")(y) + x
 
+        if self.packed_output:
+            assert self.upsampler == "pixelshuffle" and y.ndim == 3, \
+                "packed_output supports the pixelshuffle head only"
+            if self.img_channels == 3:
+                mean_row = jnp.tile(mean.reshape(3), y.shape[2] // 3)
+                y = y / self.img_range + mean_row[None, None, :]
+            return y
         if self.img_channels == 3:
             y = y / self.img_range + mean
         return y
@@ -368,7 +380,7 @@ register_model(ModelSpec(
     subtasks=("super-resolution",),
     scale=4,
     pad_multiple=8, pad_mode="extra", pad_kind="symmetric",
-    tile=256, tile_overlap=32,
+    tile=None, tile_overlap=32, band_mode=True,
     config=dict(embed_dim=180, depths=(6,) * 6, num_heads=(6,) * 6,
                 window_size=8, upscale=4, upsampler="pixelshuffle"),
 ))

@@ -97,3 +97,46 @@ def test_cas_general_k5():
         dimension_numbers=("NHWC", "HWIO", "NHWC")), 2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_fused_head_packed_matches_unpacked():
+    rs = [2, 2]
+    stages, wl, bl = _rand_head(jax.random.PRNGKey(6), 6, 8, 3, rs)
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 24, 40, 6))
+
+    def seq(z):
+        return _naive_head(z, stages, wl, bl, rs)
+
+    unpacked = fused_pixelshuffle_head(x, stages, wl, bl, rs, seq)
+    packed = fused_pixelshuffle_head(x, stages, wl, bl, rs, seq,
+                                     packed=True)
+    assert packed.shape == (1, 96, 160 * 3)
+    np.testing.assert_allclose(np.asarray(packed).reshape(1, 96, 160, 3),
+                               np.asarray(unpacked), atol=2e-5, rtol=1e-4)
+
+
+def test_tiled_apply_packed_band_mode():
+    """packed_c=3 band blending == the unpacked path, byte-for-byte after
+    the (free) host reshape."""
+    from image_restoration_agent_tpu.core.tiling import tiled_apply
+
+    rs = [2]
+    stages, wl, bl = _rand_head(jax.random.PRNGKey(8), 3, 8, 3, rs)
+    scale = 2
+
+    def head(z, packed):
+        def seq(v):
+            return _naive_head(v, stages, wl, bl, rs)
+        return fused_pixelshuffle_head(z, stages, wl, bl, rs, seq,
+                                       packed=packed)
+
+    img = jax.random.normal(jax.random.PRNGKey(9), (50, 64, 3))
+    want = tiled_apply(lambda b: head(b, False), img, tile=(24, 64),
+                       overlap=8, scale=scale, batch=1, pad_multiple=8)
+    got = tiled_apply(lambda b: head(b, True), img, tile=(24, 64),
+                      overlap=8, scale=scale, batch=1, pad_multiple=8,
+                      packed_c=3)
+    assert got.shape == (50 * scale, 64 * scale * 3)
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(50 * scale, 64 * scale, 3),
+        np.asarray(want), atol=2e-5, rtol=1e-4)
