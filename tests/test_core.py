@@ -125,6 +125,38 @@ class TestTiling:
         got = blend_tiles(outs, plan, scale=scale)
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
+    def test_weight_axes_factor_dense_canvas(self):
+        """The separable per-axis counts must reproduce the dense canvas
+        (full grid), for square, rect, packed, and band-like plans."""
+        from image_restoration_agent_tpu.core.tiling import (_weight_axes,
+                                                             _weight_canvas)
+
+        cases = [
+            dict(h=50, w=41, tile=24, overlap=8, scale=2, scale_w=None),
+            dict(h=64, w=64, tile=24, overlap=8, scale=4, scale_w=12),
+            dict(h=72, w=40, tile=(24, 40), overlap=8, scale=1,
+                 scale_w=None),
+            dict(h=33, w=57, tile=16, overlap=5, scale=1, scale_w=None),
+        ]
+        for c in cases:
+            plan = plan_tiles(c["h"], c["w"], c["tile"], c["overlap"])
+            dense = _weight_canvas(plan, c["scale"], scale_w=c["scale_w"])
+            rows, cols = _weight_axes(plan, c["scale"],
+                                      scale_w=c["scale_w"])
+            np.testing.assert_array_equal(rows[:, None] * cols[None, :],
+                                          dense)
+
+    def test_blend_program_has_no_dense_weight_constant(self, rng):
+        """The lowered blend must embed only O(H + W) weight constants:
+        the dense (H*s, W*sw) canvas was 400 MB at the packed 2K x4
+        headline and overflowed the remote-compile request (HTTP 413)."""
+        plan = plan_tiles(512, 512, 256, overlap=32)
+        outs = jnp.zeros((plan.num_tiles, 1024, 1024 * 3), jnp.float32)
+        low = jax.jit(lambda t: blend_tiles(t, plan, scale=4,
+                                            scale_w=12)).lower(outs)
+        # dense constant would serialize >50 MB of weight canvas
+        assert len(low.as_text()) < 2_000_000
+
     def test_tiled_apply_identity_with_upscale(self, rng):
         img = jnp.asarray(rng.random((70, 52, 3), dtype=np.float32))
 
