@@ -245,8 +245,9 @@ def upsample_tail(x, w1, b1, wl, bl, r):
     fast = (
         mode != "off" and x.ndim == 4
         and (mode == "interpret" or jax.default_backend() == "tpu")
-        and conv3x3_supported(h, wd, cin, cmid)
-        and conv3x3_supported(h, wd, cmid, wl.shape[-1] * r * r)
+        and conv3x3_supported(h, wd, cin, cmid, esize=x.dtype.itemsize)
+        and conv3x3_supported(h, wd, cmid, wl.shape[-1] * r * r,
+                              esize=x.dtype.itemsize)
     )
     if fast:
         interp = mode == "interpret"
@@ -324,7 +325,8 @@ class ConvAfterShuffle(nn.Module):
         fast = (
             mode != "off" and x.ndim == 4
             and (mode == "interpret" or jax.default_backend() == "tpu")
-            and conv3x3_supported(h, wd, cpre, self.features * self.r ** 2)
+            and conv3x3_supported(h, wd, cpre, self.features * self.r ** 2,
+                                  esize=x.dtype.itemsize)
         )
         return _ConvAfterShuffleInner(
             self.features, self.r, self.act, fast,
@@ -359,7 +361,8 @@ class Conv(nn.Module):
             and x.ndim == 4
             and (mode == "interpret" or jax.default_backend() == "tpu")
             and conv3x3_supported(x.shape[1], x.shape[2], x.shape[3],
-                                  self.features, self.shuffle)
+                                  self.features, self.shuffle,
+                                  esize=x.dtype.itemsize)
         )
         if fast:
             return _FastConv3x3(

@@ -139,39 +139,46 @@ _VMEM_BUDGET = 96 * 1024 * 1024
 _MAX_CHUNK = 1920
 
 
-def _strip_vmem(r, w, cin, cout):
+def _strip_vmem(r, w, cin, cout, esize=2):
     """Scoped-VMEM estimate for one grid step: double-buffered input blocks
     (center + halo strips), the concatenated copy, the f32 accumulator, the
-    weights, and the double-buffered output block."""
-    inputs = 2 * ((r + 2) * (w + 16) * cin * 2)   # blocks, x2 pipeline
-    scratch = 2 * ((r + 2) * (w + 2) * cin * 2)   # band + xp copies
+    weights, and the double-buffered output block. ``esize`` is the canvas
+    element size in bytes (2 for bf16 serving, 4 for f32 pipelines — the
+    DiffBIR VAE/ControlNet path runs f32 and needs half-size strips)."""
+    inputs = 2 * ((r + 2) * (w + 16) * cin * esize)   # blocks, x2 pipeline
+    scratch = 2 * ((r + 2) * (w + 2) * cin * esize)   # band + xp copies
     acc = r * w * cout * 4
-    wts = 9 * cin * cout * 2
-    out = 2 * (r * w * cout * 2)
+    wts = 9 * cin * cout * esize
+    out = 2 * (r * w * cout * esize)
     return inputs + scratch + acc + wts + out
 
 
-def _pick_grid(h, w, cin, cout):
+def _pick_grid(h, w, cin, cout, esize=2):
     """(rrows, col_chunk) or None. Column chunks are uniform (the wrapper
-    zero-pads the canvas width up to n_chunks * col_chunk when needed)."""
+    zero-pads the canvas width up to n_chunks * col_chunk when needed).
+    If no (r, full-chunk) combination fits VMEM, the chunk width is halved
+    (down to 128) before giving up."""
     nch = -(-w // _MAX_CHUNK)
-    cc = -(-w // nch // 8) * 8
-    for r in (16, 8):
-        if h % r:
-            continue
-        if _strip_vmem(r, cc, cin, cout) <= _VMEM_BUDGET:
-            return r, cc
-    return None
+    while True:
+        cc = -(-w // nch // 8) * 8
+        for r in (16, 8):
+            if h % r:
+                continue
+            if _strip_vmem(r, cc, cin, cout, esize) <= _VMEM_BUDGET:
+                return r, cc
+        if cc <= 128:
+            return None
+        nch *= 2
 
 
 def conv3x3_supported(h: int, w: int, cin: int, cout: int,
-                     shuffle: int = 1) -> bool:
+                     shuffle: int = 1, esize: int = 2) -> bool:
     """Shapes the strip kernel handles with good MXU utilization."""
     if h % 8 != 0 or w % 8 != 0 or w < 128:
         return False
     if shuffle > 1 and cout % (shuffle * shuffle) != 0:
         return False
-    return _pick_grid(h, w, cin, cout) is not None
+    return _pick_grid(h, w, cin, cout, esize) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("act", "shuffle", "interpret",
@@ -210,8 +217,9 @@ def conv3x3_pallas(x, w, b=None, act: str | None = None, shuffle: int = 1,
     """
     bsz, h, wd, cin = x.shape
     cout = w.shape[-1]
-    picked = _pick_grid(h, wd, cin, cout)
-    assert picked is not None, (h, wd, cin, cout)
+    esize = jnp.dtype(x.dtype).itemsize
+    picked = _pick_grid(h, wd, cin, cout, esize)
+    assert picked is not None, (h, wd, cin, cout, esize)
     r, cc = picked
     if rrows is not None:
         r = rrows
