@@ -327,16 +327,23 @@ def bench_agent_p50(args, fast: bool = True):
 
 def bench_diffbir(args):
     """DiffBIR serving preset: seconds/image for the heaviest tool (50-step
-    spaced sampler x tiles; reference
+    spaced sampler, whole-image; reference
     AgentApp/model_service/super_resolution/DiffBIR/model_serving.py:77-131).
-    Random-init weights — sampler latency is weight-independent."""
+    Random-init weights — sampler latency is weight-independent.
+
+    Input size 256: the agent only routes images to x4 SR when they are
+    smaller than 300 px (AgenticIR/pipeline/iragent.py extract_agenda), and
+    the reference tool runs whole-image at --sr_scale 4 with no --tiled
+    (AgenticIR/executor/super_resolution/__init__.py:34-46), so the
+    production canvas is ~1024 px — latent 128x128, 50 UNet+ControlNet
+    evaluations, VAE encode/decode with chunked-q attention."""
     enable_compile_cache()
     import jax
 
     from image_restoration_agent_tpu.engine import Engine
 
     size = int(args.size.split("x")[1]) if "x" in args.size else 256
-    size = min(size, 512)
+    size = min(size, 256)
     eng = Engine(allow_random_init=True)
     rng = np.random.default_rng(0)
     img = rng.random((size, size, 3), dtype=np.float32)

@@ -10,7 +10,9 @@ skip connections (cldm.yaml).
 
 TPU notes: spatial attention flattens (H, W) and runs dense MHA — at latent
 resolution 64 the sequences are <= 4096 tokens, MXU-friendly; bf16 with f32
-softmax.
+softmax. Above DENSE_SCORE_LIMIT score entries (whole-image serving at
+>=1024px canvases) self-attention switches to the chunked-q path so the
+score matrix never materializes.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ...ops.chunked_attention import DENSE_SCORE_LIMIT, chunked_attention
 from ..common import Conv
 
 
@@ -73,11 +76,19 @@ class CrossAttention(nn.Module):
                 0, 2, 1, 3)
 
         qh, kh, vh = split(q), split(k), split(v)
-        attn = jnp.einsum("bhnd,bhmd->bhnm", qh * self.head_dim ** -0.5, kh,
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh.astype(attn.dtype),
-                         preferred_element_type=jnp.float32)
+        n, m = qh.shape[-2], kh.shape[-2]
+        if self.heads * n * m > DENSE_SCORE_LIMIT:
+            # whole-image self-attention at big canvases: the reference's
+            # untiled --sr_scale 4 flow needs memory-efficient attention
+            # (it uses xformers; here chunked-q, same FLOPs, O(chunk*M))
+            out = chunked_attention(qh, kh, vh, self.head_dim ** -0.5)
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm",
+                              qh * self.head_dim ** -0.5, kh,
+                              preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh.astype(attn.dtype),
+                             preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1],
                                                 inner).astype(x.dtype)
         return nn.Dense(x.shape[-1], name="to_out")(out)

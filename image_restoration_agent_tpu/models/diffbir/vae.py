@@ -14,6 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ...ops.chunked_attention import DENSE_SCORE_LIMIT, chunked_attention
 from ..common import Conv
 
 
@@ -48,11 +49,18 @@ class MidAttention(nn.Module):
         q = Conv(c, kernel=1, name="q")(y).reshape(b, h * w, c)
         k = Conv(c, kernel=1, name="k")(y).reshape(b, h * w, c)
         v = Conv(c, kernel=1, name="v")(y).reshape(b, h * w, c)
-        attn = jnp.einsum("bnc,bmc->bnm", q, k,
-                          preferred_element_type=jnp.float32) * c ** -0.5
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bnm,bmc->bnc", attn, v.astype(attn.dtype),
-                         preferred_element_type=jnp.float32)
+        n = h * w
+        if n * n > DENSE_SCORE_LIMIT:
+            # whole-image canvases: at a 1024px image the 128x128 latent
+            # makes the dense (N, N) score matrix 1 GB (16 GB at 2048px);
+            # chunked-q keeps peak memory at (chunk, N)
+            out = chunked_attention(q, k, v, c ** -0.5)
+        else:
+            attn = jnp.einsum("bnc,bmc->bnm", q, k,
+                              preferred_element_type=jnp.float32) * c ** -0.5
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bnm,bmc->bnc", attn, v.astype(attn.dtype),
+                             preferred_element_type=jnp.float32)
         out = out.reshape(b, h, w, c).astype(x.dtype)
         return x + Conv(c, kernel=1, name="proj_out")(out)
 

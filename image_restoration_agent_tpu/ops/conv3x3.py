@@ -153,18 +153,33 @@ def _strip_vmem(r, w, cin, cout, esize=2):
     return inputs + scratch + acc + wts + out
 
 
+_LIVE_BUDGET = 18 * 1024 * 1024
+
+
+def _live_vmem(r, w, cin, cout, esize):
+    """Register/spill-pressure proxy: the f32 accumulator plus the
+    assembled (R+2, CC+2, Cin) window are live across the whole 9-tap
+    loop. Measured bracketing: the bf16 headline step (r=8, cc=1920,
+    c=180) compiles fine at 17.5M; an f32 (r=16, cc=512, cin=256,
+    cout=512) step at 25.3M spills 144MB of vregs and blows the 128MB
+    VMEM cap (DiffBIR cond_encoder)."""
+    return r * w * cout * 4 + (r + 2) * (w + 16) * cin * esize
+
+
 def _pick_grid(h, w, cin, cout, esize=2):
     """(rrows, col_chunk) or None. Column chunks are uniform (the wrapper
     zero-pads the canvas width up to n_chunks * col_chunk when needed).
-    If no (r, full-chunk) combination fits VMEM, the chunk width is halved
-    (down to 128) before giving up."""
+    If no (r, full-chunk) combination fits the VMEM and live-state
+    budgets, the chunk width is halved (down to 128) before giving up."""
     nch = -(-w // _MAX_CHUNK)
     while True:
         cc = -(-w // nch // 8) * 8
         for r in (16, 8):
             if h % r:
                 continue
-            if _strip_vmem(r, cc, cin, cout, esize) <= _VMEM_BUDGET:
+            if (_strip_vmem(r, cc, cin, cout, esize) <= _VMEM_BUDGET
+                    and _live_vmem(r, cc, cin, cout, esize)
+                    <= _LIVE_BUDGET):
                 return r, cc
         if cc <= 128:
             return None
