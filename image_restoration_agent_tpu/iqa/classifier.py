@@ -104,9 +104,10 @@ class SeverityEvaluator:
 
     @classmethod
     def default(cls):
-        """Best shipped checkpoint (v3: priors+CNN trained on a 256-image
-        procedural corpus with multi-degradation mixing — 91%/71% single
-        dominant/exact-severity, 76.5% multi dominant, vs v2's 74%/48%;
+        """Best shipped checkpoint (v4: same priors+CNN arch as v3 but a
+        multi-degradation-first curriculum + ordinal label smoothing —
+        the agent's real inputs are 2-3-op compositions; then v3
+        [91%/71% single dominant/exact-severity, 76.5% multi dominant],
         then v2, then the 160px v1), else random init.
 
         Returns a process-wide singleton: a fresh instance would carry a
@@ -117,14 +118,18 @@ class SeverityEvaluator:
         from pathlib import Path
 
         weights = Path(__file__).resolve().parents[1] / "weights"
-        v3 = weights / "degradation_classifier_v3"
         inst = None
-        if v3.exists():
-            try:
-                inst = cls.from_checkpoint(
-                    v3, input_size=224, model=DegradationClassifierV3())
-            except Exception:
-                pass
+        for vname in ("degradation_classifier_v4",
+                      "degradation_classifier_v3"):
+            ckpt = weights / vname
+            if ckpt.exists():
+                try:
+                    inst = cls.from_checkpoint(
+                        ckpt, input_size=224,
+                        model=DegradationClassifierV3())
+                    break
+                except Exception:
+                    pass
         if inst is None:
             for name, size in (("degradation_classifier_v2", 224),
                                ("degradation_classifier", 160)):

@@ -343,13 +343,18 @@ def evaluate_multi(params, hq_images, n: int = 400, size: int = 224,
 def train_classifier_v3_dataset(xs, ys, steps: int = 2000, batch: int = 32,
                                 lr: float = 3e-4, seed: int = 0,
                                 model=None, log_every: int = 0,
-                                ordinal_smooth: float = 0.0):
+                                ordinal_smooth: float = 0.0,
+                                snapshot_every: int = 0, snapshot_fn=None):
     """v3 recipe over a pregenerated dataset (shuffled epochs).
 
     ``ordinal_smooth`` > 0 (v4) spreads that probability mass onto the two
     adjacent severity levels — severities are ordinal, and the level
     boundaries of the synthesizer's parameter grid are perceptually soft,
-    so hard one-hot targets over-penalize off-by-one predictions."""
+    so hard one-hot targets over-penalize off-by-one predictions.
+
+    ``snapshot_fn(params, step)`` is called every ``snapshot_every`` steps
+    so multi-hour runs survive being killed: the caller can persist the
+    latest params and resume/ship from the snapshot."""
     from ..iqa.classifier import DegradationClassifierV3
 
     model = model or DegradationClassifierV3()
@@ -422,4 +427,6 @@ def train_classifier_v3_dataset(xs, ys, steps: int = 2000, batch: int = 32,
         if log_every and (i + 1) % log_every == 0:
             print(f"step {i + 1}/{steps} loss {np.mean(losses[-50:]):.4f}",
                   flush=True)
+        if snapshot_every and snapshot_fn and (i + 1) % snapshot_every == 0:
+            snapshot_fn(params, i + 1)
     return params, losses

@@ -63,9 +63,18 @@ def main():
                                p_multi=args.p_multi)
         np.savez(cache, xs=xs, ys=ys)
     print(f"dataset {xs.shape} in {time.time() - t0:.1f}s", flush=True)
+
+    out = args.out or ("image_restoration_agent_tpu/weights/"
+                       "degradation_classifier_v4")
+
+    def snapshot(p, step_i):
+        save_as_orbax(p, out + "_snap")
+        print(f"snapshot at step {step_i} -> {out}_snap", flush=True)
+
     params, losses = train_classifier_v3_dataset(
         xs, ys, steps=args.steps, batch=args.batch, lr=args.lr,
-        model=model, log_every=500, ordinal_smooth=args.ordinal_smooth)
+        model=model, log_every=500, ordinal_smooth=args.ordinal_smooth,
+        snapshot_every=1000, snapshot_fn=snapshot)
     print(f"final loss {np.mean(losses[-50:]):.4f} "
           f"({time.time() - t0:.0f}s)", flush=True)
 
@@ -77,8 +86,6 @@ def main():
                            size=args.size, model=model)
     print(f"multi-degradation: {multi}", flush=True)
 
-    out = args.out or ("image_restoration_agent_tpu/weights/"
-                       "degradation_classifier_v4")
     save_as_orbax(params, out)
     print(f"saved {out}", flush=True)
 
