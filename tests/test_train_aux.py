@@ -153,3 +153,21 @@ class TestClassifierV3:
         lq, labels = synthesize_multi(corpus[0], rng)
         assert lq.shape == corpus[0].shape
         assert 1 <= (labels > 0).sum() <= 3
+
+    def test_dataset_trainer_snapshot_hook(self):
+        """The dataset trainer calls snapshot_fn(params, step) on the
+        requested cadence so multi-hour runs survive being killed."""
+        from image_restoration_agent_tpu.iqa.classifier import (
+            DegradationClassifierV3)
+        from image_restoration_agent_tpu.train.classifier import (
+            SEVERITY_LEVELS, train_classifier_v3_dataset)
+
+        rng = np.random.default_rng(0)
+        xs = rng.random((8, 32, 32, 3)).astype(np.float32)
+        ys = rng.integers(0, len(SEVERITY_LEVELS), (8, 8))
+        snaps = []
+        params, losses = train_classifier_v3_dataset(
+            xs, ys, steps=5, batch=4, model=DegradationClassifierV3(width=8),
+            snapshot_every=2, snapshot_fn=lambda p, s: snaps.append(s))
+        assert snaps == [2, 4]
+        assert np.isfinite(losses).all()
