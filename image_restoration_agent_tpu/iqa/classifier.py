@@ -106,9 +106,10 @@ class SeverityEvaluator:
     def default(cls):
         """Best shipped checkpoint (v4: same priors+CNN arch as v3 but a
         multi-degradation-first curriculum + ordinal label smoothing —
-        the agent's real inputs are 2-3-op compositions; then v3
-        [91%/71% single dominant/exact-severity, 76.5% multi dominant],
-        then v2, then the 160px v1), else random init.
+        the agent's real inputs are 2-3-op compositions; 86.75% multi
+        dominant tie-aware / 83.25% strict, 93%/70% single
+        dominant/exact-severity; then v3 [91%/71% single, 76.5% multi
+        dominant], then v2, then the 160px v1), else random init.
 
         Returns a process-wide singleton: a fresh instance would carry a
         fresh ``jax.jit`` wrapper whose compilation cache starts empty —

@@ -423,7 +423,12 @@ def train_classifier_v3_dataset(xs, ys, steps: int = 2000, batch: int = 32,
         if i + 1 < steps:
             pending = put(next_idx())
         params, opt_state, loss = step8(params, opt_state, *cur)
-        losses.append(float(loss))
+        losses.append(float(loss))  # blocks: the step has consumed cur
+        # free the batch buffers eagerly — the remote-device (axon tunnel)
+        # backend does not release transfer buffers on GC alone, which
+        # leaked one ~10MB batch per step (OOM after ~11k steps)
+        for a in cur:
+            a.delete()
         if log_every and (i + 1) % log_every == 0:
             print(f"step {i + 1}/{steps} loss {np.mean(losses[-50:]):.4f}",
                   flush=True)
