@@ -115,3 +115,38 @@ class TestEvaluatorSingleton:
         img2[0, 0, 0] += 0.5
         l3 = ev.logits(img2)
         assert l3 is not l1
+
+    def test_shipped_v4_checkpoint_loads_and_discriminates(self):
+        """default() loads the shipped v4 weights (not random init) and the
+        trained classifier ranks a heavy degradation above the clean image's
+        severity for that degradation. Guards the checkpoint <-> arch pairing
+        (a topology mismatch would silently fall back to random init)."""
+        from pathlib import Path
+
+        from image_restoration_agent_tpu.data import degrade as D
+        from image_restoration_agent_tpu.iqa.classifier import (
+            SEVERITY_LEVELS, SeverityEvaluator)
+
+        import image_restoration_agent_tpu.iqa.classifier as clf_mod
+        v4 = Path(clf_mod.__file__).resolve().parent.parent / "weights" \
+            / "degradation_classifier_v4"
+        if not v4.exists():
+            import pytest
+            pytest.skip("v4 checkpoint not shipped in this tree")
+
+        ev = SeverityEvaluator.default()
+        # default() must have picked a trained checkpoint at 224px, not
+        # the random-init fallback (which uses the v1 160px size)
+        assert ev.input_size == 224
+
+        # in-distribution fixture: the same procedural generator the
+        # classifier trains/evals on (a bare gradient or random field is
+        # OOD and reads as blur / pure noise respectively)
+        from image_restoration_agent_tpu.train.classifier import (
+            procedural_corpus)
+        clean = procedural_corpus(2, size=288, seed=777)[1]
+        noisy = D.add_noise(clean, noise_type="Gaussian", arg=50,
+                            rng=np.random.default_rng(1))
+        lvl = SEVERITY_LEVELS.index
+        assert lvl(ev.severity_of(noisy, "noise")) > \
+            lvl(ev.severity_of(clean, "noise"))
