@@ -114,15 +114,19 @@ def main() -> None:
 
     tile = args.tile if args.tile > 0 else None
     init_t = args.tile if args.tile > 0 else spec.pad_multiple * 2
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, init_t, init_t, 3)))
+    # jit the init: eager flax init dispatches hundreds of tiny ops, each
+    # paying the remote-compile RPC (~0.4 s/op over the axon tunnel —
+    # measured ~116 s of the round-3 driver timeout); one jitted program
+    # compiles in seconds and is persistently cached.
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, init_t, init_t, 3)))
     if args.dtype == "bf16":
         # bf16 weights/activations: TPU-native inference precision; the
         # overlap-blend accumulates in f32 and quality parity is guarded by
-        # the golden tests.
-        params = jax.tree.map(
+        # the golden tests. One jitted cast (not per-leaf eager dispatches).
+        params = jax.jit(lambda p: jax.tree.map(
             lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32 else x, params)
+            if x.dtype == jnp.float32 else x, p))(params)
 
     def fwd(batch):
         x = batch.astype(jnp.bfloat16 if args.dtype == "bf16" else jnp.float32)
@@ -199,10 +203,11 @@ def main() -> None:
         "value": round(value, 4),
         "unit": "MP/s",
         "vs_baseline": round(value / base, 3) if base else None,
-    }))
+    }), flush=True)
     print(f"# {h}x{w} input, tile={args.tile} overlap={args.overlap} "
           f"batch={args.batch} dtype={args.dtype} best={dt:.3f}s "
-          f"device={jax.devices()[0].platform}", file=sys.stderr)
+          f"device={jax.devices()[0].platform}", file=sys.stderr,
+          flush=True)
 
 
 def bench_gan_sr_jpeg_batch(args):
@@ -235,10 +240,11 @@ def bench_gan_sr_jpeg_batch(args):
     name = "swinir_lightweight_sr_x4"
     spec = get_spec(name)
     model = build_model(name)
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
-    params = jax.tree.map(
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 64, 64, 3)))
+    params = jax.jit(lambda p: jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        params)
+        p))(params)
 
     def fwd(batch):
         return model.apply(params, batch.astype(jnp.bfloat16)) \
