@@ -106,14 +106,20 @@ class WindowAttentionLayer(nn.Module):
             idx = jnp.asarray(relative_position_index(ws).reshape(-1))
             rpb = table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
             if xw.ndim == 4:  # (B, H, W, C): strip kernel, no partition
+                fm = xw.dtype == jnp.bfloat16
                 return swin_strip_pallas(
                     xw, norm_scale, norm_bias, qkv_kernel, qkv_b,
                     proj_kernel, proj_b, rpb, mask,
                     num_heads=self.num_heads, ws=ws, dc=dc,
                     mask_bank=mask_bank, mlp=mlp,
-                    # tanh-GELU + clamp-softmax: error below bf16 rounding,
-                    # ~15% faster; f32 (tests/parity) keeps exact erf
-                    fastmath=xw.dtype == jnp.bfloat16)
+                    # bf16 serving: register-fused ROLLED pair bodies
+                    # (paired2r) — bit-identical to paired2 fastmath,
+                    # measured ~1.2 ms/block faster AND lowering drops
+                    # 205s -> ~1s (the round-3 driver-bench timeout);
+                    # tanh-GELU + clamp-softmax error below bf16 rounding.
+                    # f32 (tests/parity) keeps exact erf on paired2.
+                    attn_mode="paired2r" if fm else "paired2",
+                    fastmath=fm)
             nwb = xw.shape[0]
             nw = 1 if mask is None else mask.shape[0]
             g = next(gg for gg in (8, 4, 2, 1)

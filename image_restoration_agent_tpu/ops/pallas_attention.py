@@ -357,7 +357,7 @@ def _strip_kernel(a_ref, b_ref, lnw_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
 def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
                          rrows=1, ccols=1, s0=0, g2=False, fuse_mlp=False,
                          ablate="", wnd="slab", fastmath=False,
-                         interpret=False, eps=1e-5):
+                         r_unroll=1, interpret=False, eps=1e-5):
     """Paired-window strip kernel: 2 windows per MXU dot group.
 
     Measured ~1.4x faster than the per-window 'stacked' design on v5e: the
@@ -487,6 +487,94 @@ def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
             preferred_element_type=jnp.float32)
             + b_ref2[:][None, :]).astype(dst.dtype)
 
+    if g2 == "rolled" and fastmath:
+        # register-fused rolled body: the fori_loop makes lowering/compile
+        # O(1) in strip width (the unrolled fused path below costs ~110s of
+        # client-side lowering at the 1920-wide headline), while keeping the
+        # unrolled fused path's structure — block-diagonal 2-head k/v stacks
+        # built as register VALUES (no km/vm scratch stores at traced
+        # offsets, which is what made the original rolled mode slower) and
+        # clamp-softmax in registers between the two dots. Logits arrive
+        # pre-scaled by log2(e) exactly as in the unrolled fastmath path.
+        zblk = jnp.zeros((m, hp), k_ref.dtype)
+
+        def one_pair(g):
+            col_last = (g % npair_row) == npair_row - 1
+            kp = k_ref[pl.ds(g * m, m), :]
+            vp = v_ref[pl.ds(g * m, m), :]
+            qp = q_ref[pl.ds(g * m, m), :]
+            for gr in range(ngr):
+                k0 = kp[:, 2 * gr * hp:(2 * gr + 1) * hp]
+                k1 = kp[:, (2 * gr + 1) * hp:(2 * gr + 2) * hp]
+                km2 = jnp.concatenate(
+                    [jnp.concatenate([k0, zblk], axis=1),
+                     jnp.concatenate([zblk, k1], axis=1)], axis=0)
+                v0 = vp[:, 2 * gr * hp:(2 * gr + 1) * hp]
+                v1 = vp[:, (2 * gr + 1) * hp:(2 * gr + 2) * hp]
+                vm2 = jnp.concatenate(
+                    [jnp.concatenate([v0, zblk], axis=1),
+                     jnp.concatenate([zblk, v1], axis=1)], axis=0)
+                q2 = qp[:, 2 * gr * hp:(2 * gr + 2) * hp]
+                lg = jax.lax.dot_general(
+                    q2, km2, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                b0 = bias_ref[0, 0, 0, :, 2 * gr * m:(2 * gr + 2) * m]
+                b1 = bias_ref[0, 0, 1, :, 2 * gr * m:(2 * gr + 2) * m]
+                lg = lg + jnp.where(col_last, b1, b0)
+                if "pexp" in ablate:
+                    # perf probe: polynomial exp2 — round/cubic-poly the
+                    # fraction, build 2^int via the f32 exponent field
+                    xc = jnp.clip(lg, -100.0, 86.56)
+                    xi = jnp.floor(xc + 0.5)
+                    fr = xc - xi
+                    p2f = 1.0 + fr * (0.69314718
+                                      + fr * (0.24022651
+                                              + fr * 0.05550411))
+                    ex = jax.lax.bitcast_convert_type(
+                        (xi.astype(jnp.int32) + 127) << 23, jnp.float32)
+                    e = p2f * ex
+                else:
+                    e = jnp.exp2(jnp.minimum(lg, 86.56))
+                if "recip" in ablate:
+                    # perf probe: reciprocal-multiply normalization (128
+                    # divides per (m,1) sum instead of m*2m broadcast divs)
+                    p01 = jnp.concatenate(
+                        [e[:, :m] * (1.0 / jnp.sum(e[:, :m], axis=1,
+                                                   keepdims=True)),
+                         e[:, m:] * (1.0 / jnp.sum(e[:, m:], axis=1,
+                                                   keepdims=True))],
+                        axis=1).astype(vm2.dtype)
+                else:
+                    p01 = jnp.concatenate(
+                        [e[:, :m] / jnp.sum(e[:, :m], axis=1,
+                                            keepdims=True),
+                         e[:, m:] / jnp.sum(e[:, m:], axis=1,
+                                            keepdims=True)],
+                        axis=1).astype(vm2.dtype)
+                ov = jax.lax.dot_general(
+                    p01, vm2, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                attn_ref[pl.ds(g * m, m),
+                         2 * gr * hp:(2 * gr + 2) * hp] = \
+                    ov.astype(attn_ref.dtype)
+
+        # partial unroll: U pair bodies per fori_loop iteration restore the
+        # cross-pair software pipelining a 1-pair body denies Mosaic, while
+        # keeping lowering/compile O(U) instead of O(npair); r_unroll<=0 =
+        # full unroll (npair is chunk-bounded: <=15 at the headline's 240-
+        # wide column chunks, <=24 at the 384 non-chunked cap — measured
+        # 13.2 ms/block vs 14.5 unrolled-paired2 AND 1.1s vs 205s lowering)
+        uu = npair if r_unroll <= 0 else max(1, min(r_unroll, npair))
+
+        def pair_body(it, carry):
+            for u in range(uu):
+                one_pair(it * uu + u)
+            return carry
+
+        jax.lax.fori_loop(0, npair // uu, pair_body, 0)
+        for g_t in range(npair - npair % uu, npair):  # static tail
+            one_pair(g_t)
+        g2 = None
     if g2 == "rolled":
         # fori_loop over pairs: compile time independent of npair (the
         # unrolled loops below multiply Mosaic compile time with strip
@@ -841,7 +929,7 @@ def pad_width_for_strips(w: int, ws: int = 8) -> int:
 @functools.partial(jax.jit, static_argnames=("num_heads", "ws", "dc",
                                              "attn_mode", "rrows_pref",
                                              "chunk_pref", "ablate", "wnd",
-                                             "fastmath",
+                                             "fastmath", "r_unroll",
                                              "wchunk_override", "interpret"))
 def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                       rpb, mask=None, num_heads: int = 6, ws: int = 8,
@@ -850,7 +938,7 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                       mlp=None,
                       rrows_pref: int = 1, chunk_pref: int = 16,
                       ablate: str = "", wnd: str = "slab",
-                      fastmath: bool = False,
+                      fastmath: bool = False, r_unroll: int = 0,
                       wchunk_override: int | None = None,
                       interpret: bool = False):
     """Fused Swin attention half-block over (B, H, W, C) directly, with an
@@ -890,7 +978,7 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     # 2D (row-strip, col-chunk) grid whose Mosaic program stays at chunk
     # width — compile time is that of a ~256-wide strip regardless of W.
     wchunk, ncols = w, 1
-    if attn_mode == "paired2" and (w > 384 or wchunk_override):
+    if attn_mode in ("paired2", "paired2r") and (w > 384 or wchunk_override):
         d = wchunk_override or strip_chunk_width(w, ws)
         if d and d < w and w % d == 0 and (d // ws) % 2 == 0:
             wchunk, ncols = d, w // d
@@ -931,7 +1019,9 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         # fastmath g2: fold log2(e) into the logit scale (q weights and
         # bias) so the kernel's clamp-softmax uses native exp2 without a
         # per-logit multiply; the exact path keeps natural-log logits
-        log2e = 1.4426950408889634 if (fastmath and g2 is True) else 1.0
+        # (applies to both the unrolled g2 path and the register-fused
+        # rolled body, which share the clamp-exp2 softmax)
+        log2e = 1.4426950408889634 if (fastmath and g2) else 1.0
         bias2 = _paired_bias(rpb, mask_bank, num_heads, n) * log2e
         interior, row_edge = bias2[0], bias2[1]
         if ncols > 1:
@@ -1063,7 +1153,7 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
             nwin=nwin_c, ws=ws, dc=dc, chunk=chunk, rrows=rrows,
             ccols=ccols, s0=s0, g2=g2,
             fuse_mlp=mlp is not None, ablate=ablate, wnd=wnd,
-            fastmath=fastmath, interpret=interpret)
+            fastmath=fastmath, r_unroll=r_unroll, interpret=interpret)
         mlp_specs, mlp_args = [], []
         if mlp is not None:
             ln2w, ln2b, w1, b1, w2, b2 = mlp

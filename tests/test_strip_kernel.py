@@ -323,6 +323,57 @@ class TestPaired2Mode:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+class TestPaired2RolledMode:
+    """attn_mode='paired2r' (register-fused ROLLED pair bodies, the bf16
+    serving default): must match paired2 fastmath exactly — same math, only
+    the pair loop is a fori_loop with partial unrolling (keeps Mosaic
+    lowering O(unroll) instead of O(strip width), the round-3 driver-bench
+    timeout fix)."""
+
+    def test_paired2r_matches_paired2_fastmath(self, rng):
+        x, ps = _strip_args(rng, 4 * WS, 4 * WS)
+        mlp = TestFusedMlp._mlp_params(TestFusedMlp(), rng)
+        for dc, bank in ((0, None), (-S, _bank()), (S, _bank())):
+            a = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                  mask_bank=bank, dc=dc, mlp=mlp,
+                                  attn_mode="paired2", fastmath=True,
+                                  interpret=True)
+            b = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                  mask_bank=bank, dc=dc, mlp=mlp,
+                                  attn_mode="paired2r", fastmath=True,
+                                  interpret=True)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_paired2r_unroll_variants(self, rng):
+        """fori-rolled (ur=1), partial (ur=2), and full unroll (ur=0) are
+        the same program over different loop structures."""
+        x, ps = _strip_args(rng, 2 * WS, 4 * WS)
+        outs = [swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                  mask_bank=_bank(), dc=-S,
+                                  attn_mode="paired2r", fastmath=True,
+                                  r_unroll=ur, interpret=True)
+                for ur in (0, 1, 2)]
+        np.testing.assert_array_equal(np.asarray(outs[0]),
+                                      np.asarray(outs[1]))
+        np.testing.assert_array_equal(np.asarray(outs[0]),
+                                      np.asarray(outs[2]))
+
+    def test_paired2r_chunked_grid(self, rng):
+        """paired2r + forced column chunking (the headline's 2D grid) with
+        the cyclic roll crossing chunk boundaries via the sliver refs."""
+        x, ps = _strip_args(rng, 2 * WS, 4 * WS)
+        for dc in (0, -S):
+            a = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                  mask_bank=_bank() if dc else None, dc=dc,
+                                  attn_mode="paired2", fastmath=True,
+                                  interpret=True)
+            b = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                  mask_bank=_bank() if dc else None, dc=dc,
+                                  attn_mode="paired2r", fastmath=True,
+                                  wchunk_override=2 * WS, interpret=True)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestChunkedGrid:
     """Column-chunked 2D-grid mode (full-canvas untiled path): the kernel
     body stays at chunk width while the grid covers the whole canvas; the
