@@ -78,11 +78,18 @@ def main(argv=None):
         help="one-command real-checkpoint gate: convert every manifest "
              "entry found in a checkpoint dir, run each family on a "
              "fixture, score vs stored goldens")
-    pvw.add_argument("ckpt_dir", help="directory of downloaded checkpoints")
+    pvw.add_argument("ckpt_dir", nargs="?", default=None,
+                     help="directory of downloaded checkpoints "
+                          "(omit with --synthetic)")
     pvw.add_argument("--out", default="weights",
                      help="orbax weight root (engine weight_dir)")
     pvw.add_argument("--models", default=None,
                      help="comma-separated subset of manifest models")
+    pvw.add_argument("--synthetic", action="store_true",
+                     help="run the committed synthetic real-geometry "
+                          "goldens (no downloaded weights needed): rebuild "
+                          "each deterministic .pth, convert through the "
+                          "manifest, serve, gate PSNR at 0.1 dB")
 
     pab = sub.add_parser(
         "ablation-grid",
@@ -190,6 +197,15 @@ def main(argv=None):
                           "report": str(Path(args.work_dir)
                                         / "ablation_grid.md")}))
     elif args.cmd == "validate-weights":
+        if args.synthetic:
+            from .offline.synthetic_goldens import validate_synthetic
+
+            report = validate_synthetic(
+                names=args.models.split(",") if args.models else None)
+            print(json.dumps(report))
+            return 1 if report["failed"] else 0
+        if not args.ckpt_dir:
+            p.error("ckpt_dir is required unless --synthetic is given")
         from .offline.validate_weights import validate
 
         report = validate(

