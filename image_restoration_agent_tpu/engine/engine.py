@@ -39,6 +39,29 @@ class RestorationResult:
     random_init: bool = False  # True if the model ran with unloaded weights
 
 
+def device_hbm_budget(reserve_fraction: float = 0.3,
+                      fallback: int = 12 * 1024 ** 3) -> int:
+    """Weight-residency budget derived from the serving device itself.
+
+    The reference polls live GPU utilization before deciding to evict
+    (AgentApp/utils/GPUServiceManager.py:24-72); the TPU analog reads the
+    device's memory stats at engine construction and budgets weights at
+    (1 - reserve_fraction) of HBM — the reserve covers compiled programs
+    and activation working sets. Falls back to a 12 GiB constant when the
+    backend exposes no stats (CPU test meshes)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit") or \
+            stats.get("bytes_reservable_limit")
+        if limit:
+            in_use = stats.get("bytes_in_use", 0)
+            usable = int(limit * (1.0 - reserve_fraction)) - int(in_use)
+            return max(usable, 1024 ** 3)
+    except Exception:  # backend without memory_stats
+        pass
+    return fallback
+
+
 def _bucket(size: int, bucket: int, multiple: int) -> int:
     """Round up to the bucket grid, keeping the model's pad multiple."""
     b = max(bucket, multiple)
@@ -52,7 +75,7 @@ class Engine:
     def __init__(
         self,
         weight_dir: Optional[Path] = None,
-        hbm_budget_bytes: int = 12 * 1024 ** 3,
+        hbm_budget_bytes: Optional[int] = None,  # None: size from device
         param_dtype: Any = jnp.float32,
         shape_bucket: int = 128,
         default_batch: int = 4,
@@ -70,7 +93,10 @@ class Engine:
                                   if allow_random_init is None
                                   else allow_random_init)
         self.random_init_models: set[str] = set()
-        self.store = WeightStore(self._load_params, hbm_budget_bytes)
+        self.store = WeightStore(
+            self._load_params,
+            device_hbm_budget() if hbm_budget_bytes is None
+            else hbm_budget_bytes)
         self._jit_cache: dict[tuple, Callable] = {}
         self.call_log: list[dict] = []
 
@@ -271,11 +297,22 @@ class Engine:
     def status(self) -> dict:
         """Engine health snapshot (reference: /health endpoints +
         GPUServiceManager.get_service_status)."""
+        budget = self.store.budget_bytes
+        pressure = self.store.resident_bytes / budget if budget else 0.0
+        if pressure > 0.9 or self.store.evictions:
+            import logging
+
+            logging.getLogger("engine").warning(
+                "HBM eviction pressure: %.0f%% of %.1f GiB weight budget "
+                "resident, %d evictions so far", pressure * 100,
+                budget / 1024 ** 3, len(self.store.evictions))
         return {
             "device": jax.devices()[0].platform,
             "models_registered": len(MODEL_REGISTRY),
             "models_resident": self.store.resident,
             "resident_bytes": self.store.resident_bytes,
+            "hbm_budget_bytes": budget,
+            "hbm_pressure": round(pressure, 4),
             "evictions": list(self.store.evictions),
             "compiled_pipelines": len(self._jit_cache),
             "calls": len(self.call_log),

@@ -52,6 +52,10 @@ class WeightStore:
         self.evictions: list[str] = []  # observability: eviction history
 
     @property
+    def budget_bytes(self) -> int:
+        return self._budget
+
+    @property
     def resident(self) -> list[str]:
         return list(self._entries)
 
