@@ -19,6 +19,26 @@ import sys
 from pathlib import Path
 
 
+def parse_sizes(spec: str) -> list[tuple[int, int]]:
+    """'256,512x768,720p' -> [(256, 256), (768, 512), (720, 1280)];
+    WxH order matches bench.py's --size, returned as (H, W)."""
+    named = {"720p": (720, 1280), "1080p": (1080, 1920),
+             "2k": (1080, 1920), "4k": (2160, 3840)}
+    out = []
+    for tok in spec.split(","):
+        tok = tok.strip().lower()
+        if not tok:
+            continue
+        if tok in named:
+            out.append(named[tok])
+        elif "x" in tok:
+            w, h = (int(v) for v in tok.split("x"))
+            out.append((h, w))
+        else:
+            out.append((int(tok), int(tok)))
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="image_restoration_agent_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -90,6 +110,26 @@ def main(argv=None):
                           "goldens (no downloaded weights needed): rebuild "
                           "each deterministic .pth, convert through the "
                           "manifest, serve, gate PSNR at 0.1 dB")
+
+    pwu = sub.add_parser(
+        "warmup",
+        help="precompile serving pipelines for the deployment's expected "
+             "models and sizes so first-request latency is bounded "
+             "(reference analog: pre-launching every model service before "
+             "traffic, AgentApp/test_env.sh); writes a persistent XLA "
+             "compile cache so the warmup survives restarts")
+    pwu.add_argument("--models", default="nafnet,restormer,swinir_sr_x4",
+                     help="comma-separated registry models")
+    pwu.add_argument("--sizes", default="256,512",
+                     help="comma-separated WxH / single ints (squares) / "
+                          "720p / 1080p")
+    pwu.add_argument("--weight-dir", default=None,
+                     help="orbax weight root (omit: random-init warmup — "
+                          "compile cost is weight-independent)")
+    pwu.add_argument("--cache-dir", default=".jax_cache",
+                     help="persistent XLA compile cache directory")
+    pwu.add_argument("--ensemble", action="store_true",
+                     help="also warm the geometric self-ensemble pipelines")
 
     pab = sub.add_parser(
         "ablation-grid",
@@ -196,6 +236,21 @@ def main(argv=None):
                           "pairs": grid["pairs"],
                           "report": str(Path(args.work_dir)
                                         / "ablation_grid.md")}))
+    elif args.cmd == "warmup":
+        from .engine import Engine
+        from .utils.misc import enable_persistent_compile_cache
+
+        enable_persistent_compile_cache(args.cache_dir)
+        eng = Engine(weight_dir=Path(args.weight_dir)
+                     if args.weight_dir else None,
+                     allow_random_init=args.weight_dir is None)
+        records = eng.warmup(args.models.split(","),
+                             parse_sizes(args.sizes),
+                             ensemble=args.ensemble)
+        print(json.dumps({"records": records,
+                          "total_seconds": round(sum(r["seconds"]
+                                                     for r in records), 3),
+                          "cache_dir": args.cache_dir}))
     elif args.cmd == "validate-weights":
         if args.synthetic:
             from .offline.synthetic_goldens import validate_synthetic

@@ -270,6 +270,33 @@ class Engine:
             input_shape=(h0, w0), output_shape=out.shape[:2],
             random_init=model_name in self.random_init_models)
 
+    def warmup(self, models: list[str], sizes: list[tuple[int, int]],
+               ensemble: bool = False) -> list[dict]:
+        """Precompile the serving pipelines for a deployment's expected
+        shape buckets so first-request latency is bounded (the reference
+        pre-launches every model service before traffic, AgentApp/
+        test_env.sh; without this the first full-size request can pay
+        hundreds of seconds of fresh XLA compiles).
+
+        Walks each (model, HxW) through the REAL restore path on a zero
+        image — exercising bucketing, band planning, and the jit cache —
+        and reports per-entry wall seconds plus whether a new pipeline was
+        compiled. Combine with a persistent compilation cache (CLI warmup
+        enables one) to amortize across process restarts."""
+        records = []
+        for name in models:
+            for h, w in sizes:
+                n0 = len(self._jit_cache)
+                t0 = time.perf_counter()
+                self.restore_array(np.zeros((h, w, 3), np.float32), name,
+                                   ensemble=ensemble)
+                records.append({
+                    "model": name, "h": h, "w": w,
+                    "seconds": round(time.perf_counter() - t0, 3),
+                    "compiled": len(self._jit_cache) > n0,
+                    "random_init": name in self.random_init_models})
+        return records
+
     def restore_file(self, input_path: str | Path, output_path: str | Path,
                      model_name: str, **kw) -> RestorationResult:
         img = to_float(load_image(input_path))

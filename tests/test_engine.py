@@ -108,6 +108,28 @@ class TestEngine:
         eng = Engine(hbm_budget_bytes=123456)
         assert eng.store.budget_bytes == 123456
 
+    def test_warmup_precompiles_buckets(self, rng):
+        """VERDICT r3 #7: warmup walks (model, size) shape buckets through
+        the real restore path; a subsequent request in a warmed bucket adds
+        no compiled pipeline."""
+        engine = Engine(shape_bucket=32, default_batch=2)
+        recs = engine.warmup(["swinir_tiny"], [(24, 24), (56, 40)])
+        assert [r["compiled"] for r in recs] == [True, True]
+        assert all(r["seconds"] > 0 for r in recs)
+        n = len(engine._jit_cache)
+        res = engine.restore_array(rng.random((50, 34, 3),
+                                               dtype=np.float32),
+                                   "swinir_tiny")  # buckets to (56, 40)
+        assert len(engine._jit_cache) == n
+        assert res.image.shape == (200, 136, 3)
+
+    def test_cli_size_parsing(self):
+        from image_restoration_agent_tpu.cli import parse_sizes
+
+        assert parse_sizes("256,512x768,720p") == [(256, 256), (768, 512),
+                                                   (720, 1280)]
+        assert parse_sizes("1080p") == [(1080, 1920)]
+
     def test_file_roundtrip(self, engine, rng, tmp_path):
         from image_restoration_agent_tpu.core import save_image
         img = rng.random((32, 32, 3), dtype=np.float32)
