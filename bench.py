@@ -65,7 +65,7 @@ def main() -> None:
 
     # BASELINE.json configs #1-#3 as presets (config #3 is the default CLI)
     if args.config == "nafnet_denoise":
-        args.model, args.size, args.tile = "nafnet", "256x256", 256
+        return bench_nafnet_chained(args)
     elif args.config == "restormer_720p":
         # whole-image (tile=0): 2.70 vs 1.86 MP/s tiled-256 — the fused
         # MDTA/GDFN kernels cover all four U-Net levels at 768x1280
@@ -208,6 +208,68 @@ def main() -> None:
           f"batch={args.batch} dtype={args.dtype} best={dt:.3f}s "
           f"device={jax.devices()[0].platform}", file=sys.stderr,
           flush=True)
+
+
+def bench_nafnet_chained(args, k: int = 20):
+    """BASELINE config #1: NAFNet denoise at 256px, measured as K chained
+    serving passes inside ONE jitted dispatch, wall / K.
+
+    A single ~30 ms forward dispatched over the axon tunnel measures the
+    tunnel, not the chip (round-3 record wobbled 0.029-0.033 s run to run).
+    Denoising is shape-preserving, so the real tiled serving program
+    composes with itself: a fori_loop of tiled_apply(pad -> forward ->
+    crop) bodies amortizes the one dispatch across K passes and compiles
+    one loop body."""
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from image_restoration_agent_tpu.core.tiling import tiled_apply
+    from image_restoration_agent_tpu.models import build_model
+    from image_restoration_agent_tpu.models.registry import get_spec
+
+    size = 256
+    spec = get_spec("nafnet")
+    model = build_model("nafnet")
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, size, size, 3)))
+    if args.dtype == "bf16":
+        params = jax.jit(lambda p: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, p))(params)
+
+    def fwd(batch):
+        x = batch.astype(jnp.bfloat16 if args.dtype == "bf16"
+                         else jnp.float32)
+        return model.apply(params, x).astype(jnp.float32)
+
+    def serve_once(img):
+        return tiled_apply(fwd, img, tile=size, overlap=args.overlap,
+                           scale=spec.scale, batch=1,
+                           pad_multiple=spec.pad_multiple,
+                           pad_mode=spec.pad_mode, pad_kind=spec.pad_kind)
+
+    @jax.jit
+    def run(img):
+        return jax.lax.fori_loop(0, k, lambda i, x: serve_once(x), img)
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((size, size, 3), dtype=np.float32))
+    run(img).block_until_ready()  # warmup/compile
+    times = []
+    for _ in range(max(args.repeats, 5)):
+        t0 = time.perf_counter()
+        run(img).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = min(times) / k
+    value = size * size / 1e6 / dt
+    print(json.dumps({
+        "metric": "megapixels_per_sec_denoise_256",
+        "value": round(value, 4), "unit": "MP/s",
+        "vs_baseline": None}), flush=True)
+    print(f"# NAFNet {size}px, {k} chained serving passes/dispatch, "
+          f"best {dt * 1e3:.2f} ms/pass, "
+          f"device={jax.devices()[0].platform}", file=sys.stderr)
 
 
 def bench_gan_sr_jpeg_batch(args):
