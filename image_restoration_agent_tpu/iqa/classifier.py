@@ -120,14 +120,17 @@ class SeverityEvaluator:
 
         weights = Path(__file__).resolve().parents[1] / "weights"
         inst = None
-        for vname in ("degradation_classifier_v4",
-                      "degradation_classifier_v3"):
+        for vname, mk in (("degradation_classifier_v5",
+                           lambda: DegradationClassifierV5()),
+                          ("degradation_classifier_v4",
+                           lambda: DegradationClassifierV3()),
+                          ("degradation_classifier_v3",
+                           lambda: DegradationClassifierV3())):
             ckpt = weights / vname
             if ckpt.exists():
                 try:
                     inst = cls.from_checkpoint(
-                        ckpt, input_size=224,
-                        model=DegradationClassifierV3())
+                        ckpt, input_size=224, model=mk())
                     break
                 except Exception:
                     pass
@@ -334,3 +337,58 @@ class DegradationClassifierV3(nn.Module):
                           name="head")(z)
         return logits.reshape(z.shape[0], len(DEGRADATIONS),
                               self.num_levels)
+
+
+class DegradationClassifierV5(nn.Module):
+    """v3 trunk + ORDINAL-REGRESSION severity head (v5).
+
+    Severity is ordinal; the v3/v4 independent 5-way softmax can rank
+    level 4 above level 0 while scoring level 2 lowest. The v5 head
+    predicts one scalar severity score per degradation against 4 LEARNED
+    MONOTONE thresholds (cumulative logits ``P(level > k) = s - t_k`` with
+    ``t_k`` increasing by construction via cumulative softplus — the CORAL
+    recipe), so predicted level distributions are unimodal-by-construction
+    and errors concentrate on adjacent levels (the exact-severity metric
+    the reflection loop rides on, ref AgenticIR/llm/depictqa.py:42-77).
+
+    ``__call__`` returns 5-way level LOG-PROBABILITIES shaped like the
+    v3 logits — drop-in for SeverityEvaluator (argmax / confidence);
+    ``cumulative=True`` returns the 4 cumulative logits for the BCE loss.
+    """
+
+    width: int = 32
+    num_levels: int = len(SEVERITY_LEVELS)
+
+    @nn.compact
+    def __call__(self, x, cumulative: bool = False):  # (B, S, S, 3)
+        w = self.width
+        nd = len(DEGRADATIONS)
+        feats = degradation_features(x)
+        y = x
+        for i, f in enumerate((w, w * 2, w * 4, w * 4, w * 8)):
+            y = nn.Conv(f, (3, 3), strides=(2, 2), padding="SAME",
+                        name=f"conv{i}")(y)
+            y = nn.GroupNorm(num_groups=8, name=f"gn{i}")(y)
+            y = nn.gelu(y)
+        y = jnp.mean(y, axis=(1, 2))
+        fe = nn.Dense(w * 4, name="feat_fc")(feats)
+        fe = nn.gelu(fe)
+        z = jnp.concatenate([y, fe], axis=-1)
+        z = nn.Dense(w * 8, name="fc1")(z)
+        z = nn.gelu(z)
+        z = nn.Dense(w * 8, name="fc2")(z)
+        z = nn.gelu(z)
+        score = nn.Dense(nd, name="score")(z)          # (B, nd)
+        t0 = self.param("thresh0", nn.initializers.zeros, (nd, 1))
+        deltas = self.param("thresh_deltas",
+                            nn.initializers.constant(0.55),
+                            (nd, self.num_levels - 2))
+        thresh = jnp.concatenate(
+            [t0, t0 + jnp.cumsum(nn.softplus(deltas), axis=-1)], axis=-1)
+        cum = score[:, :, None] - thresh[None]         # (B, nd, L-1)
+        if cumulative:
+            return cum
+        sig = jax.nn.sigmoid(cum)                      # decreasing in k
+        upper = jnp.concatenate([jnp.ones_like(sig[..., :1]), sig], -1)
+        lower = jnp.concatenate([sig, jnp.zeros_like(sig[..., :1])], -1)
+        return jnp.log(upper - lower + 1e-9)           # level log-probs

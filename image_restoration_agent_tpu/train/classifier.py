@@ -40,33 +40,14 @@ _LEVEL_ARGS = {
 }
 
 
-def synthesize_example(img: np.ndarray, rng: np.random.Generator):
+def synthesize_example(img: np.ndarray, rng: np.random.Generator,
+                       relabel: bool = False):
     """Apply one random degradation at a random level; returns
     (degraded image, labels (8,) with the chosen op at its level and all
-    others at level 0)."""
-    labels = np.zeros(len(DEGRADATIONS), np.int64)
+    others at level 0). Same RNG draw order as v1-v4."""
     name = rng.choice([d for d in DEGRADATIONS if d != "low resolution"])
     level = int(rng.integers(1, 5))
-    arg = _LEVEL_ARGS[name][level]
-    if name == "noise":
-        out = D.add_noise(img, "Gaussian", arg=arg, rng=rng)
-    elif name == "jpeg compression artifact":
-        out = D.add_jpeg_artifacts(img, quality_factor=arg, rng=rng)
-    elif name == "dark":
-        out = D.darken(img, "constant shift", arg=arg, rng=rng)
-    elif name == "motion blur":
-        out = D.add_motion_blur(img, severity=arg, rng=rng)
-    elif name == "defocus blur":
-        out = D.add_defocus_blur(img, severity=arg, rng=rng)
-    elif name == "haze":
-        a, beta = arg
-        out = D.add_haze(img, A=a, beta=beta, rng=rng)
-    elif name == "rain":
-        out = D.add_rain(img, value=arg, rng=rng)
-    else:
-        out = img
-    labels[DEGRADATIONS.index(name)] = level
-    return out, labels
+    return _apply_one(img, name, level, rng, relabel=relabel)
 
 
 def example_stream(hq_images: list[np.ndarray], batch: int, seed: int = 0,
@@ -139,10 +120,16 @@ def evaluate_classifier(params, hq_images: list[np.ndarray], n: int = 64,
 
 
 def synthesize_multi(img: np.ndarray, rng: np.random.Generator,
-                     max_ops: int = 3):
+                     max_ops: int = 3, relabel: bool = False):
     """Compose 1..max_ops distinct degradations in random order (the
     agent's real inputs carry 2-3 — dataset/degradations.txt combos);
-    labels carry each applied op's level."""
+    labels carry each applied op's level.
+
+    ``relabel`` (v5): cap each op's label by its OBSERVABLE pixel effect —
+    e.g. blur or JPEG applied to a texture-free gradient changes nothing a
+    viewer (or restorer) could act on, so teaching the synthesized level
+    there is label noise; it also taught v4 to hallucinate heavy blur/JPEG
+    on smooth OOD inputs (docs/NEXT_STEPS.md round-3 note)."""
     labels = np.zeros(len(DEGRADATIONS), np.int64)
     k = int(rng.integers(1, max_ops + 1))
     names = list(rng.choice(
@@ -152,13 +139,29 @@ def synthesize_multi(img: np.ndarray, rng: np.random.Generator,
     for name in names:
         level = int(rng.integers(1, 5))
         one = np.zeros(len(DEGRADATIONS), np.int64)
-        out, one = _apply_one(out, name, level, rng)
+        out, one = _apply_one(out, name, level, rng, relabel=relabel)
         labels = np.maximum(labels, one)
     return out, labels
 
 
+def observable_level(before: np.ndarray, after: np.ndarray,
+                     level: int) -> int:
+    """Cap a synthesized severity label by the op's observable effect:
+    mean |delta| < 0.4/255 is imperceptible (level 0), < 1.2/255 at most
+    'low'. Degradations that matter (noise sigma>=10, shift>=20, visible
+    haze) sit far above both cut-offs; blur/JPEG on texture-free content
+    sits below the first."""
+    d = float(np.mean(np.abs(after.astype(np.float32)
+                             - before.astype(np.float32))))
+    if d < 0.4:
+        return 0
+    if d < 1.2:
+        return min(level, 1)
+    return level
+
+
 def _apply_one(img: np.ndarray, name: str, level: int,
-               rng: np.random.Generator):
+               rng: np.random.Generator, relabel: bool = False):
     labels = np.zeros(len(DEGRADATIONS), np.int64)
     arg = _LEVEL_ARGS[name][level]
     if name == "noise":
@@ -178,20 +181,44 @@ def _apply_one(img: np.ndarray, name: str, level: int,
         out = D.add_rain(img, value=arg, rng=rng)
     else:
         out = img
+    if relabel:
+        level = observable_level(img, out, level)
     labels[DEGRADATIONS.index(name)] = level
     return out, labels
 
 
 def procedural_corpus(n: int = 48, size: int = 288,
-                      seed: int = 7) -> list[np.ndarray]:
+                      seed: int = 7, p_flat: float = 0.0) -> list[np.ndarray]:
     """Self-contained HQ corpus: multi-octave value-noise textures,
     gradients, and geometric shapes (uint8 RGB). Rich enough in edges,
     flats, and color structure for the priors and CNN to separate the 8
-    degradation signatures."""
+    degradation signatures.
+
+    ``p_flat`` (v5): fraction of TEXTURE-FREE images (flat colors, linear
+    and radial gradients). The v4 corpus had no texture-free regions, so
+    the classifier hallucinated heavy blur/JPEG on smooth OOD photos
+    (sky, studio backdrops); pair with ``relabel`` so imperceptible ops on
+    these images are labeled by their observable effect."""
     rng = np.random.default_rng(seed)
     out = []
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
-    for _ in range(n):
+    n_flat = int(round(n * p_flat))
+    for i_flat in range(n_flat):
+        kind = i_flat % 3
+        c0, c1 = rng.random(3), rng.random(3)
+        if kind == 0:        # flat color
+            img = np.broadcast_to(c0, (size, size, 3)).copy()
+        elif kind == 1:      # linear gradient, random direction
+            a = rng.random()
+            t = (a * yy + (1 - a) * xx)[..., None]
+            img = c0 * (1 - t) + c1 * t
+        else:                # radial gradient / vignette
+            cy, cx = rng.random(2)
+            r = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+            t = np.clip(r / max(float(r.max()), 1e-6), 0, 1)[..., None]
+            img = c0 * (1 - t) + c1 * t
+        out.append((np.clip(img, 0, 1) * 255).astype(np.uint8))
+    for _ in range(n - n_flat):
         img = np.zeros((size, size, 3), np.float32)
         # multi-octave smooth noise
         for octave in (4, 8, 16, 32):
@@ -279,7 +306,7 @@ def train_classifier_v3(hq_images, steps: int = 2000, batch: int = 32,
 
 def build_dataset(hq_images, n_examples: int, seed: int = 0,
                   size: int = 224, p_multi: float = 0.5,
-                  fast_resize: bool = True):
+                  fast_resize: bool = True, relabel: bool = False):
     """Pre-synthesize a fixed dataset (the per-batch synthesis costs
     ~50 ms/image on one host core — pregeneration keeps the TPU fed).
     ``fast_resize`` uses PIL bicubic on the host instead of the jax
@@ -294,9 +321,9 @@ def build_dataset(hq_images, n_examples: int, seed: int = 0,
     for i in range(n_examples):
         img = hq_images[rng.integers(len(hq_images))]
         if rng.random() < p_multi:
-            lq, labels = synthesize_multi(img, rng)
+            lq, labels = synthesize_multi(img, rng, relabel=relabel)
         else:
-            lq, labels = synthesize_example(img, rng)
+            lq, labels = synthesize_example(img, rng, relabel=relabel)
         if fast_resize:
             arr = np.asarray(Image.fromarray(
                 np.clip(lq, 0, 255).astype(np.uint8))
@@ -309,7 +336,8 @@ def build_dataset(hq_images, n_examples: int, seed: int = 0,
 
 
 def evaluate_multi(params, hq_images, n: int = 400, size: int = 224,
-                   model=None, seed: int = 5, max_ops: int = 3):
+                   model=None, seed: int = 5, max_ops: int = 3,
+                   relabel: bool = False):
     """Multi-degradation eval with tie-aware dominant accuracy.
 
     Levels are drawn uniformly from 1..4 per op, so 2-3-op compositions tie
@@ -322,10 +350,11 @@ def evaluate_multi(params, hq_images, n: int = 400, size: int = 224,
     model = model or DegradationClassifierV3()
     apply = jax.jit(model.apply)
     rng = np.random.default_rng(seed)
-    strict = tie = per_op = per_op_n = 0
+    strict = tie = per_op = per_op_exact = per_op_n = 0
     for _ in range(n):
         img = hq_images[rng.integers(len(hq_images))]
-        lq, labels = synthesize_multi(img, rng, max_ops=max_ops)
+        lq, labels = synthesize_multi(img, rng, max_ops=max_ops,
+                                      relabel=relabel)
         logits = np.asarray(apply(params, jnp.asarray(
             prepare_input(lq.astype(np.float32) / 255.0, size))[None]))[0]
         pred = logits.argmax(-1)
@@ -335,22 +364,30 @@ def evaluate_multi(params, hq_images, n: int = 400, size: int = 224,
         for i in range(len(labels)):
             if labels[i] > 0:
                 per_op_n += 1
+                per_op_exact += int(int(pred[i]) == int(labels[i]))
                 per_op += int(abs(int(pred[i]) - int(labels[i])) <= 1)
     return {"dominant": tie / n, "dominant_strict": strict / n,
-            "per_op_level1": per_op / max(per_op_n, 1)}
+            "per_op_level1": per_op / max(per_op_n, 1),
+            "per_op_exact": per_op_exact / max(per_op_n, 1)}
 
 
 def train_classifier_v3_dataset(xs, ys, steps: int = 2000, batch: int = 32,
                                 lr: float = 3e-4, seed: int = 0,
                                 model=None, log_every: int = 0,
                                 ordinal_smooth: float = 0.0,
-                                snapshot_every: int = 0, snapshot_fn=None):
+                                snapshot_every: int = 0, snapshot_fn=None,
+                                coral: bool = False):
     """v3 recipe over a pregenerated dataset (shuffled epochs).
 
     ``ordinal_smooth`` > 0 (v4) spreads that probability mass onto the two
     adjacent severity levels — severities are ordinal, and the level
     boundaries of the synthesizer's parameter grid are perceptually soft,
     so hard one-hot targets over-penalize off-by-one predictions.
+
+    ``coral`` (v5) trains an ordinal-regression model
+    (DegradationClassifierV5) with binary cross-entropy over its 4
+    cumulative P(level > k) logits — the CORAL loss; mutually exclusive
+    with ``ordinal_smooth``.
 
     ``snapshot_fn(params, step)`` is called every ``snapshot_every`` steps
     so multi-hour runs survive being killed: the caller can persist the
@@ -376,6 +413,11 @@ def train_classifier_v3_dataset(xs, ys, steps: int = 2000, batch: int = 32,
     @jax.jit
     def step(params, opt_state, x, y):
         def loss_fn(p):
+            if coral:
+                cum = model.apply(p, x, cumulative=True)  # (B, nd, L-1)
+                tgt = (y[..., None] > jnp.arange(nlev - 1)) \
+                    .astype(jnp.float32)
+                return optax.sigmoid_binary_cross_entropy(cum, tgt).mean()
             logits = model.apply(p, x)
             flat = logits.reshape(-1, nlev)
             if ordinal_smooth > 0.0:
