@@ -500,6 +500,10 @@ def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
 
         def one_pair(g):
             col_last = (g % npair_row) == npair_row - 1
+            # superstrips (rrows > 1): the bias row variant follows the
+            # pair's window-row within the step (static when unrolled,
+            # dynamic VMEM index inside the fori body otherwise)
+            rr = (g // npair_row) if rrows > 1 else 0
             kp = k_ref[pl.ds(g * m, m), :]
             vp = v_ref[pl.ds(g * m, m), :]
             qp = q_ref[pl.ds(g * m, m), :]
@@ -518,8 +522,8 @@ def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
                 lg = jax.lax.dot_general(
                     q2, km2, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                b0 = bias_ref[0, 0, 0, :, 2 * gr * m:(2 * gr + 2) * m]
-                b1 = bias_ref[0, 0, 1, :, 2 * gr * m:(2 * gr + 2) * m]
+                b0 = bias_ref[0, rr, 0, :, 2 * gr * m:(2 * gr + 2) * m]
+                b1 = bias_ref[0, rr, 1, :, 2 * gr * m:(2 * gr + 2) * m]
                 lg = lg + jnp.where(col_last, b1, b0)
                 if "pexp" in ablate:
                     # perf probe: polynomial exp2 — round/cubic-poly the
@@ -566,14 +570,20 @@ def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
         # 13.2 ms/block vs 14.5 unrolled-paired2 AND 1.1s vs 205s lowering)
         uu = npair if r_unroll <= 0 else max(1, min(r_unroll, npair))
 
-        def pair_body(it, carry):
-            for u in range(uu):
-                one_pair(it * uu + u)
-            return carry
+        if uu >= npair:
+            # full unroll: a static Python loop keeps every index (incl.
+            # the superstrip bias row rr) static for Mosaic
+            for g_t in range(npair):
+                one_pair(g_t)
+        else:
+            def pair_body(it, carry):
+                for u in range(uu):
+                    one_pair(it * uu + u)
+                return carry
 
-        jax.lax.fori_loop(0, npair // uu, pair_body, 0)
-        for g_t in range(npair - npair % uu, npair):  # static tail
-            one_pair(g_t)
+            jax.lax.fori_loop(0, npair // uu, pair_body, 0)
+            for g_t in range(npair - npair % uu, npair):  # static tail
+                one_pair(g_t)
         g2 = None
     if g2 == "rolled":
         # fori_loop over pairs: compile time independent of npair (the
@@ -997,10 +1007,10 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         # ~11us fixed per-step cost (see _strip_kernel_paired docstring).
         # Default 1: R>1 multiplies Mosaic compile time through the
         # unrolled pair loops (tracked; needs rolled fori_loop bodies)
-        rrows = next(rr for rr in (rrows_pref, 4, 2, 1)
+        rrows = next(rr for rr in (rrows_pref, 4, 3, 2, 1)
                      if rr <= rrows_pref and rows_per_img % rr == 0)
-        if g2 == "rolled" or ncols > 1:
-            rrows = 1  # rolled/chunked bodies use single-row bias layout
+        if ncols > 1 and g2 != "rolled":
+            rrows = 1  # unrolled chunked body keeps single-row bias layout
         steps_per_img = rows_per_img // rrows
         nsteps = b * steps_per_img
         npair = rrows * (nwin_c // 2)
@@ -1025,13 +1035,18 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         bias2 = _paired_bias(rpb, mask_bank, num_heads, n) * log2e
         interior, row_edge = bias2[0], bias2[1]
         if ncols > 1:
-            # (4, 1, 2, m, H*m): leading index = 2*is_row_edge + is_col
-            # _edge chosen by the (i, j) map; the col-edge sel slot only
-            # exists in the last column chunk's blocks
+            # (4, rrows, 2, m, H*m): leading index = 2*is_row_edge +
+            # is_col_edge chosen by the (i, j) map; the col-edge sel slot
+            # only exists in the last column chunk's blocks, and the
+            # row-edge pattern only on the step's last window-row
             int_pair = jnp.stack([interior[0], interior[0]])
             rowe_pair = jnp.stack([row_edge[0], row_edge[0]])
-            bias = jnp.stack(
-                [int_pair, interior, rowe_pair, row_edge])[:, None]
+            bias = jnp.stack([
+                jnp.stack([int_pair] * rrows),
+                jnp.stack([interior] * rrows),
+                jnp.stack([int_pair] * (rrows - 1) + [rowe_pair]),
+                jnp.stack([interior] * (rrows - 1) + [row_edge]),
+            ])
 
             def bias_idx(i, j):
                 re_ = ((i % steps_per_img) + 1) // steps_per_img
@@ -1039,7 +1054,7 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                 return (2 * re_ + ce_, 0, 0, 0, 0)
 
             bias_spec = pl.BlockSpec(
-                (1, 1, 2, m, num_heads * m),
+                (1, rrows, 2, m, num_heads * m),
                 bias_idx if mask_bank is not None
                 else (lambda i, j: (0, 0, 0, 0, 0)),
                 memory_space=pltpu.VMEM)
@@ -1081,7 +1096,8 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
             def idxc(roff):
                 def f(i, j):
                     img, r = i // steps_per_img, i % steps_per_img
-                    return (img * groups + (2 * r + d0 + roff) % groups,
+                    return (img * groups
+                            + (2 * rrows * r + d0 + roff) % groups,
                             0, 0, j, 0)
                 return f
 
@@ -1090,14 +1106,16 @@ def swin_strip_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                     img, r = i // steps_per_img, i % steps_per_img
                     blk = ((j + 1) * spc) % nsl if dc < 0 \
                         else (j * spc - 1) % nsl
-                    return (img * groups + (2 * r + d0 + roff) % groups,
+                    return (img * groups
+                            + (2 * rrows * r + d0 + roff) % groups,
                             0, 0, blk, 0)
                 return f
 
-            in_maps = [idxc(0), idxc(1)] \
-                + ([idxs(0), idxs(1)] if dc else [])
-            in_widths = [wchunk] * 2 + ([svw] * 2 if dc else [])
-            out_spec = pl.BlockSpec((1, 1, ws, wchunk, c),
+            in_maps = [idxc(jj) for jj in range(2 * rrows)] \
+                + ([idxs(jj) for jj in range(2 * rrows)] if dc else [])
+            in_widths = [wchunk] * (2 * rrows) \
+                + ([svw] * (2 * rrows) if dc else [])
+            out_spec = pl.BlockSpec((1, 1, rrows * ws, wchunk, c),
                                     lambda i, j: (i, 0, 0, j, 0),
                                     memory_space=pltpu.VMEM)
             grid = (nsteps, ncols)

@@ -49,13 +49,13 @@ b2 = jnp.zeros((c,))
 mlp = (lnw, lnb, w1, b1, w2, b2)
 
 
-def chain(mode, ablate="", ur=0):
+def chain(mode, ablate="", ur=0, wc=None, rp=1):
     def one(xx, dc):
         return swin_strip_pallas(
             xx, lnw, lnb, wqkv, bqkv, wproj, bproj, rpb,
             mask_bank=mb if dc else None, num_heads=heads, ws=ws, dc=dc,
             mlp=mlp, attn_mode=mode, fastmath=True, ablate=ablate,
-            r_unroll=ur)
+            r_unroll=ur, wchunk_override=wc, rrows_pref=rp)
 
     @jax.jit
     def run(xx):
@@ -77,6 +77,17 @@ VARIANTS = {
     "p2r_pexp_recip": lambda: chain("paired2r", ablate="pexp,recip", ur=0),
     "p2r_ur2_pexp_recip": lambda: chain("paired2r", ablate="pexp,recip",
                                         ur=2),
+    # column-chunk width sweep: fewer/fatter grid steps amortize the
+    # ~11us per-step fixed I/O cost (552 steps at w240 -> 345 at w384)
+    "p2r_w128": lambda: chain("paired2r", wc=128),
+    "p2r_w320": lambda: chain("paired2r", wc=320),
+    "p2r_w384": lambda: chain("paired2r", wc=384),
+    "p2r_w384_pexp": lambda: chain("paired2r", ablate="pexp", wc=384),
+    # superstrips on the rolled body (H=552 -> 69 window rows: rrows=3)
+    "p2r_r3": lambda: chain("paired2r", rp=3),
+    "p2r_w384_r3": lambda: chain("paired2r", wc=384, rp=3),
+    "p2r_w384_r3_pexp": lambda: chain("paired2r", ablate="pexp", wc=384,
+                                      rp=3),
 }
 
 

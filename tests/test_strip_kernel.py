@@ -424,6 +424,28 @@ class TestChunkedGrid:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)
 
+    def test_superstrip_rrows(self, rng):
+        """rrows > 1 (superstrips: R window-rows per grid step) matches the
+        single-row program bit-exactly, chunked and unchunked, all shifts.
+        Amortizes the per-grid-step fixed I/O cost (VERDICT r3 #3)."""
+        mlp = TestFusedMlp._mlp_params(TestFusedMlp(), rng)
+        x, ps = _strip_args(rng, 6 * WS, 6 * WS)  # 6 rows: rrows 2,3 divide
+        for dc, bank in ((0, None), (-S, _bank()), (S, _bank())):
+            want = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                     mask_bank=bank, dc=dc, mlp=mlp,
+                                     attn_mode="paired2", fastmath=True,
+                                     interpret=True)
+            for wc in (None, 2 * WS):
+                for rp in (2, 3):
+                    got = swin_strip_pallas(
+                        x, *ps, None, num_heads=HEADS, ws=WS,
+                        mask_bank=bank, dc=dc, mlp=mlp,
+                        attn_mode="paired2r", fastmath=True,
+                        wchunk_override=wc, rrows_pref=rp, interpret=True)
+                    np.testing.assert_allclose(
+                        np.asarray(got), np.asarray(want), atol=2e-5,
+                        err_msg=f"dc={dc} wc={wc} rrows={rp}")
+
     def test_chunk_width_helpers(self):
         from image_restoration_agent_tpu.ops.pallas_attention import (
             pad_width_for_strips, strip_chunk_width)
