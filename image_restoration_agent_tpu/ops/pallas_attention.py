@@ -921,10 +921,18 @@ def strip_chunk_width(w: int, ws: int = 8) -> int | None:
     """Pick a column-chunk width for the 2D-grid full-canvas strip kernel:
     a divisor of ``w`` in [128, 384] holding an even number of ``ws``
     windows (the paired kernel needs even nwin). Returns None if ``w`` has
-    no such divisor (callers should pad W, or fall back to tiling)."""
+    no such divisor (callers should pad W, or fall back to tiling).
+
+    Lane-aligned chunks (multiples of 128, the VPU lane count) measured
+    fastest, largest first: at the 552x1920 headline band the fused block
+    is 11.74 ms at w=384 vs 11.89 (240), 12.40 (320), 12.58 (128) —
+    round-4 lab sweep, scripts/lab_r4.py."""
     cands = [d for d in range(128, 385, 2 * ws) if w % d == 0]
     if not cands:
         return None
+    aligned = [d for d in cands if d % 128 == 0]
+    if aligned:
+        return max(aligned)
     return min(cands, key=lambda d: (abs(d - 256), -d))
 
 

@@ -450,7 +450,7 @@ class TestChunkedGrid:
         from image_restoration_agent_tpu.ops.pallas_attention import (
             pad_width_for_strips, strip_chunk_width)
 
-        assert strip_chunk_width(1920) == 240
+        assert strip_chunk_width(1920) == 384  # lane-aligned, r4 sweep
         assert strip_chunk_width(1280) == 256
         assert strip_chunk_width(2048) == 256
         assert strip_chunk_width(1928) is None  # 8 * prime
