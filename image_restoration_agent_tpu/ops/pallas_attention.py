@@ -539,21 +539,26 @@ def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
                     e = p2f * ex
                 else:
                     e = jnp.exp2(jnp.minimum(lg, 86.56))
-                if "recip" in ablate:
-                    # perf probe: reciprocal-multiply normalization (128
-                    # divides per (m,1) sum instead of m*2m broadcast divs)
-                    p01 = jnp.concatenate(
-                        [e[:, :m] * (1.0 / jnp.sum(e[:, :m], axis=1,
-                                                   keepdims=True)),
-                         e[:, m:] * (1.0 / jnp.sum(e[:, m:], axis=1,
-                                                   keepdims=True))],
-                        axis=1).astype(vm2.dtype)
-                else:
+                if "divnorm" in ablate:
+                    # probe: broadcast-divide normalization (the pre-r4
+                    # default; m*2m divides per pair)
                     p01 = jnp.concatenate(
                         [e[:, :m] / jnp.sum(e[:, :m], axis=1,
                                             keepdims=True),
                          e[:, m:] / jnp.sum(e[:, m:], axis=1,
                                             keepdims=True)],
+                        axis=1).astype(vm2.dtype)
+                else:
+                    # reciprocal-multiply normalization: 128 divides per
+                    # (m,1) sum instead of m*2m broadcast divs — measured
+                    # 11.325 vs 11.454 ms/block at the w384 headline
+                    # geometry, bit-identical at the bf16 output
+                    # (scripts/lab_r4.py p2r_w384 vs p2r_w384_recip)
+                    p01 = jnp.concatenate(
+                        [e[:, :m] * (1.0 / jnp.sum(e[:, :m], axis=1,
+                                                   keepdims=True)),
+                         e[:, m:] * (1.0 / jnp.sum(e[:, m:], axis=1,
+                                                   keepdims=True))],
                         axis=1).astype(vm2.dtype)
                 ov = jax.lax.dot_general(
                     p01, vm2, (((1,), (0,)), ((), ())),
@@ -733,12 +738,22 @@ def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
                         # the extra dot + output divides cost more than
                         # the lane reduces they replace.)
                         e = jnp.exp2(jnp.minimum(lg, 86.56))
-                        p01 = jnp.concatenate(
-                            [e[:, :m] / jnp.sum(e[:, :m], axis=1,
-                                                keepdims=True),
-                             e[:, m:] / jnp.sum(e[:, m:], axis=1,
-                                                keepdims=True)],
-                            axis=1).astype(vm_ref.dtype)
+                        if "divnorm" in ablate:
+                            p01 = jnp.concatenate(
+                                [e[:, :m] / jnp.sum(e[:, :m], axis=1,
+                                                    keepdims=True),
+                                 e[:, m:] / jnp.sum(e[:, m:], axis=1,
+                                                    keepdims=True)],
+                                axis=1).astype(vm_ref.dtype)
+                        else:
+                            # reciprocal-multiply normalization (r4
+                            # default, matches the rolled body bit-exactly)
+                            p01 = jnp.concatenate(
+                                [e[:, :m] * (1.0 / jnp.sum(
+                                    e[:, :m], axis=1, keepdims=True)),
+                                 e[:, m:] * (1.0 / jnp.sum(
+                                     e[:, m:], axis=1, keepdims=True))],
+                                axis=1).astype(vm_ref.dtype)
                         vm2 = vm_ref[base:base + 2 * m, :]
                         ov = jax.lax.dot_general(
                             p01, vm2, (((1,), (0,)), ((), ())),

@@ -73,16 +73,18 @@ VARIANTS = {
     "p2r_ur2": lambda: chain("paired2r", ur=2),
     "p2r_ur4": lambda: chain("paired2r", ur=4),
     "p2r_pexp": lambda: chain("paired2r", ablate="pexp", ur=0),
-    "p2r_recip": lambda: chain("paired2r", ablate="recip", ur=0),
-    "p2r_pexp_recip": lambda: chain("paired2r", ablate="pexp,recip", ur=0),
-    "p2r_ur2_pexp_recip": lambda: chain("paired2r", ablate="pexp,recip",
-                                        ur=2),
+    # reciprocal-multiply softmax normalization is the DEFAULT since r4
+    # (11.325 vs 11.454 ms/block at w384); divnorm restores the old divide
+    "p2r_divnorm": lambda: chain("paired2r", ablate="divnorm", ur=0),
+    "p2r_pexp_recip": lambda: chain("paired2r", ablate="pexp", ur=0),
     # column-chunk width sweep: fewer/fatter grid steps amortize the
     # ~11us per-step fixed I/O cost (552 steps at w240 -> 345 at w384)
     "p2r_w128": lambda: chain("paired2r", wc=128),
     "p2r_w320": lambda: chain("paired2r", wc=320),
     "p2r_w384": lambda: chain("paired2r", wc=384),
     "p2r_w384_pexp": lambda: chain("paired2r", ablate="pexp", wc=384),
+    "p2r_w384_divnorm": lambda: chain("paired2r", ablate="divnorm",
+                                      wc=384),
     # superstrips on the rolled body (H=552 -> 69 window rows: rrows=3)
     "p2r_r3": lambda: chain("paired2r", rp=3),
     "p2r_w384_r3": lambda: chain("paired2r", wc=384, rp=3),

@@ -150,3 +150,63 @@ class TestEvaluatorSingleton:
         lvl = SEVERITY_LEVELS.index
         assert lvl(ev.severity_of(noisy, "noise")) > \
             lvl(ev.severity_of(clean, "noise"))
+
+    def test_shipped_v5_checkpoint_loads_and_discriminates(self):
+        """When the v5 (CORAL ordinal head) checkpoint ships, default()
+        must pick it over v4 and it must still rank a heavy degradation
+        above clean — guards the v5 checkpoint <-> arch pairing."""
+        from pathlib import Path
+
+        import image_restoration_agent_tpu.iqa.classifier as clf_mod
+        v5 = Path(clf_mod.__file__).resolve().parent.parent / "weights" \
+            / "degradation_classifier_v5"
+        if not v5.exists():
+            import pytest
+            pytest.skip("v5 checkpoint not shipped in this tree")
+
+        from image_restoration_agent_tpu.data import degrade as D
+        from image_restoration_agent_tpu.iqa.classifier import (
+            SEVERITY_LEVELS, DegradationClassifierV5, SeverityEvaluator)
+        from image_restoration_agent_tpu.train.classifier import (
+            procedural_corpus)
+
+        ev = SeverityEvaluator.default()
+        assert isinstance(ev.model, DegradationClassifierV5)
+        assert ev.input_size == 224
+        clean = procedural_corpus(2, size=288, seed=777)[1]
+        noisy = D.add_noise(clean, noise_type="Gaussian", arg=50,
+                            rng=np.random.default_rng(1))
+        lvl = SEVERITY_LEVELS.index
+        assert lvl(ev.severity_of(noisy, "noise")) > \
+            lvl(ev.severity_of(clean, "noise"))
+
+    def test_v5_texture_free_ood_near_zero_severity(self):
+        """Regression for the v4 OOD hole (VERDICT r3 #4): smooth clean
+        gradients and flats must score at most 'low' severity on EVERY
+        degradation — v4 reported heavy blur/JPEG on such inputs, which
+        corrupts the reflection loop's success/rollback decisions."""
+        from pathlib import Path
+
+        import image_restoration_agent_tpu.iqa.classifier as clf_mod
+        v5 = Path(clf_mod.__file__).resolve().parent.parent / "weights" \
+            / "degradation_classifier_v5"
+        if not v5.exists():
+            import pytest
+            pytest.skip("v5 checkpoint not shipped in this tree")
+
+        from image_restoration_agent_tpu.iqa.classifier import (
+            DEGRADATIONS, SEVERITY_LEVELS, SeverityEvaluator)
+
+        ev = SeverityEvaluator.default()
+        yy, xx = np.mgrid[0:288, 0:288].astype(np.float32) / 288
+        lvl = SEVERITY_LEVELS.index
+        for name, img in (
+                ("linear", np.stack([0.2 + 0.6 * xx, 0.3 + 0.5 * yy,
+                                     np.full_like(xx, 0.55)], -1)),
+                ("radial", np.stack(
+                    [np.clip(1.2 - np.hypot(yy - .5, xx - .5), 0, 1)] * 3,
+                    -1) * 0.7),
+                ("flat", np.full((288, 288, 3), 0.42, np.float32))):
+            for d in DEGRADATIONS:
+                sev = ev.severity_of(img.astype(np.float32), d)
+                assert lvl(sev) <= 1, (name, d, sev)
