@@ -85,6 +85,11 @@ VARIANTS = {
     "p2r_w384_pexp": lambda: chain("paired2r", ablate="pexp", wc=384),
     "p2r_w384_divnorm": lambda: chain("paired2r", ablate="divnorm",
                                       wc=384),
+    # beyond the [128,384] default bound: the remaining lane-aligned
+    # divisors of 1920 (fatter DMA per grid step; VMEM live-state grows
+    # linearly with chunk width, so these may spill)
+    "p2r_w640": lambda: chain("paired2r", wc=640),
+    "p2r_w1920": lambda: chain("paired2r", wc=1920),
     # superstrips on the rolled body (H=552 -> 69 window rows: rrows=3)
     "p2r_r3": lambda: chain("paired2r", rp=3),
     "p2r_w384_r3": lambda: chain("paired2r", wc=384, rp=3),
