@@ -1560,3 +1560,379 @@ def roll2d_pallas(x, shift: int, ws: int = 8, interpret: bool = False):
         interpret=interpret,
     )(xg, xg)
     return out.reshape(b, h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# Pair-fused strip kernel: TWO consecutive Swin blocks (unshifted+shifted)
+# per invocation (round-5). The intermediate activations never leave VMEM:
+# block A's output strips are kept in a 2-slot ring scratch (ybuf) and
+# block B (the shifted block) assembles its rolled strips from the ring —
+# one HBM read + one HBM write per block PAIR instead of two of each, and
+# one grid step per strip row instead of 2*ncols. The cyclic-shift wrap
+# rows/cols resolve without cross-row recompute because the canonical Swin
+# edge masks make the two wrapped segments of a window mutually invisible:
+# the wrapped segment is fed zeros and its (discarded) outputs are patched
+# from a dedicated zwrap scratch computed when its true source strip was
+# live. Ref contract: the same two-block sequence the reference serves per
+# RSTB (AgentApp/model_service/denoising/SwinIR/model_serving.py:148-166,
+# network_swinir.py SwinTransformerBlock pairs).
+
+
+def _fastmath_block_core(rows, wrefs, b0v, b1v, xw_ref, q_ref, k_ref,
+                         v_ref, attn_ref, *, num_heads, hp, nwin, ws,
+                         r_unroll, eps=1e-5):
+    """One FULL Swin block (LN1 -> WMSA -> proj -> +res -> LN2 -> MLP ->
+    +res) on an assembled (ws, nwin*ws, C) strip VALUE, bf16 fastmath
+    semantics: clamp-exp2 softmax with log2(e) pre-folded into wq/bias,
+    reciprocal-multiply normalization, tanh-GELU — the register-fused
+    rolled body of `_strip_kernel_paired` (g2="rolled", fastmath)
+    restructured to consume a VMEM value so the pair kernel can run it
+    twice per strip. b0v/b1v are the (m, heads*m) bias constants for
+    normal / last-pair windows. Returns the (nwin*n, C) block output."""
+    (lnw_ref, lnb_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+     wproj_ref, bproj_ref, ln2w_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
+     b2_ref) = wrefs
+    c = xw_ref.shape[1]
+    n = ws * ws
+    m = 2 * n
+    npair = nwin // 2
+    ngr = num_heads // 2
+
+    for wg in range(nwin):
+        xw_ref[wg * n:(wg + 1) * n, :] = \
+            rows[:, wg * ws:(wg + 1) * ws, :].reshape(n, c)
+
+    xf = xw_ref[:].astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = (y * lnw_ref[:][None, :] + lnb_ref[:][None, :]).astype(xw_ref.dtype)
+
+    for dst, w_ref, b_ref2 in ((q_ref, wq_ref, bq_ref),
+                               (k_ref, wk_ref, bk_ref),
+                               (v_ref, wv_ref, bv_ref)):
+        dst[:] = (jax.lax.dot_general(
+            y, w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            + b_ref2[:][None, :]).astype(dst.dtype)
+
+    zblk = jnp.zeros((m, hp), k_ref.dtype)
+
+    def one_pair(g):
+        col_last = g == npair - 1
+        kp = k_ref[pl.ds(g * m, m), :]
+        vp = v_ref[pl.ds(g * m, m), :]
+        qp = q_ref[pl.ds(g * m, m), :]
+        for gr in range(ngr):
+            k0 = kp[:, 2 * gr * hp:(2 * gr + 1) * hp]
+            k1 = kp[:, (2 * gr + 1) * hp:(2 * gr + 2) * hp]
+            km2 = jnp.concatenate(
+                [jnp.concatenate([k0, zblk], axis=1),
+                 jnp.concatenate([zblk, k1], axis=1)], axis=0)
+            v0 = vp[:, 2 * gr * hp:(2 * gr + 1) * hp]
+            v1 = vp[:, (2 * gr + 1) * hp:(2 * gr + 2) * hp]
+            vm2 = jnp.concatenate(
+                [jnp.concatenate([v0, zblk], axis=1),
+                 jnp.concatenate([zblk, v1], axis=1)], axis=0)
+            q2 = qp[:, 2 * gr * hp:(2 * gr + 2) * hp]
+            lg = jax.lax.dot_general(
+                q2, km2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            b0 = b0v[:, 2 * gr * m:(2 * gr + 2) * m]
+            b1 = b1v[:, 2 * gr * m:(2 * gr + 2) * m]
+            lg = lg + jnp.where(col_last, b1, b0)
+            e = jnp.exp2(jnp.minimum(lg, 86.56))
+            p01 = jnp.concatenate(
+                [e[:, :m] * (1.0 / jnp.sum(e[:, :m], axis=1,
+                                           keepdims=True)),
+                 e[:, m:] * (1.0 / jnp.sum(e[:, m:], axis=1,
+                                           keepdims=True))],
+                axis=1).astype(vm2.dtype)
+            ov = jax.lax.dot_general(
+                p01, vm2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            attn_ref[pl.ds(g * m, m), 2 * gr * hp:(2 * gr + 2) * hp] = \
+                ov.astype(attn_ref.dtype)
+
+    uu = npair if r_unroll <= 0 else max(1, min(r_unroll, npair))
+    if uu >= npair:
+        for g_t in range(npair):
+            one_pair(g_t)
+    else:
+        def pair_body(it, carry):
+            for u in range(uu):
+                one_pair(it * uu + u)
+            return carry
+
+        jax.lax.fori_loop(0, npair // uu, pair_body, 0)
+        for g_t in range(npair - npair % uu, npair):
+            one_pair(g_t)
+
+    proj = jax.lax.dot_general(
+        attn_ref[:], wproj_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bproj_ref[:][None, :]
+    res32 = proj + xw_ref[:].astype(jnp.float32)
+
+    mu2 = jnp.mean(res32, axis=-1, keepdims=True)
+    var2 = jnp.mean(jnp.square(res32 - mu2), axis=-1, keepdims=True)
+    y2 = (res32 - mu2) * jax.lax.rsqrt(var2 + eps)
+    y2 = (y2 * ln2w_ref[:][None, :]
+          + ln2b_ref[:][None, :]).astype(xw_ref.dtype)
+    hdn = jax.lax.dot_general(
+        y2, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[:][None, :]
+    hdn = 0.5 * hdn * (1.0 + jnp.tanh(
+        0.7978845608 * (hdn + 0.044715 * hdn * hdn * hdn)))
+    hdn = hdn.astype(xw_ref.dtype)
+    o2 = jax.lax.dot_general(
+        hdn, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b2_ref[:][None, :]
+    return (res32 + o2).astype(xw_ref.dtype)
+
+
+def _strip_kernel_pairfused(x0_ref, x1_ref, *args, num_heads, hp, nwin_c,
+                            J, ws, S, spb, dc1, r_unroll, eps=1e-5):
+    """Grid step i (= band*spb + ib, ib in 0..S): compute block A on strip
+    ib into the ybuf ring, block B on the ROLLED strip ib-1 assembled from
+    the ring, and write block B's output (frame -s) to out strip ib-1.
+    ib==0 seeds the zwrap scratch (the wrapped bottom segment of rolled
+    strip S-1, whose source y_0[:s] is only live now); ib==S emits the
+    wrap strip with its bottom patched from zwrap."""
+    wa = args[:16]
+    bias1_ref = args[16]
+    wb = args[17:33]
+    bias2_ref = args[33]
+    (out_ref, xw_ref, q_ref, k_ref, v_ref, attn_ref, ybuf_ref,
+     zwrap_ref) = args[34:]
+    c = xw_ref.shape[1]
+    n = ws * ws
+    s = ws // 2
+    W = nwin_c * ws
+    Wt = J * W
+    i = pl.program_id(0)
+    ib = i % spb
+    si = ib % 2          # ybuf slot receiving y_ib
+    sp = (ib + 1) % 2    # slot holding y_{ib-1}
+    # rolled strip S-1 (computed at ib==S, seeded at ib==0) is the
+    # image's last window row -> row-edge mask variant
+    re = jnp.logical_or(ib == 0, ib == spb - 1)
+
+    core = functools.partial(
+        _fastmath_block_core, xw_ref=xw_ref, q_ref=q_ref, k_ref=k_ref,
+        v_ref=v_ref, attn_ref=attn_ref, num_heads=num_heads, hp=hp,
+        nwin=nwin_c, ws=ws, r_unroll=r_unroll, eps=eps)
+
+    b1a = bias1_ref[:, :]
+    b2i = jnp.where(re, bias2_ref[1, 0], bias2_ref[0, 0])
+    b2e = jnp.where(re, bias2_ref[1, 1], bias2_ref[0, 1])
+
+    def xcols(ref, q):
+        """Stored-frame columns of x for output chunk q of block A."""
+        if dc1 == 0:
+            return ref[0, 0, :, q * W:(q + 1) * W, :]
+        # dc1 == s (input in frame -s): chunk q needs stored cols
+        # [qW-s, (q+1)W-s); aligned ws-wide halo load then value-slice
+        if q == 0:
+            a = ref[0, 0, :, Wt - ws:Wt, :]
+            bpart = ref[0, 0, :, 0:W, :]
+            both = jnp.concatenate([a, bpart], axis=1)
+        else:
+            both = ref[0, 0, :, q * W - ws:(q + 1) * W, :]
+        return both[:, ws - s:W + ws - s, :]
+
+    def ycols(rowsel, q):
+        """(len, W+ws, C) slab of ybuf rows covering chunk q's rolled
+        columns [qW+s, (q+1)W+s) after the [s:W+s] value-slice."""
+        if q == J - 1:
+            a = ybuf_ref[rowsel, pl.ds(q * W, W), :]
+            bpart = ybuf_ref[rowsel, pl.ds(0, ws), :]
+            return jnp.concatenate([a, bpart], axis=1)
+        return ybuf_ref[rowsel, pl.ds(q * W, W + ws), :]
+
+    @pl.when(ib < S)
+    def _y_sweep():
+        for q in range(J):
+            rows = jnp.concatenate(
+                [xcols(x0_ref, q), xcols(x1_ref, q)], axis=0)
+            res = core(rows, wa, b1a, b1a)
+            for wi in range(nwin_c):
+                ybuf_ref[pl.ds(si * ws, ws),
+                         pl.ds(q * W + wi * ws, ws), :] = \
+                    res[wi * n:(wi + 1) * n, :].reshape(ws, ws, c)
+
+    # block B sweep runs every step: at ib==0 it produces the zwrap
+    # segment (top rows zeroed), at ib==S the wrap strip's top segment
+    # (bottom rows zeroed); zeros (not stale VMEM) feed the wrapped
+    # segment so NaNs can never leak into a valid row's softmax sum.
+    for q in range(J):
+        top = ycols(pl.ds(sp * ws + s, s), q)
+        top = jnp.where(ib >= 1, top, jnp.zeros_like(top))
+        bot = ycols(pl.ds(si * ws, s), q)
+        bot = jnp.where(ib < S, bot, jnp.zeros_like(bot))
+        rows_z = jnp.concatenate([top, bot], axis=0)[:, s:W + s, :]
+        res = core(rows_z, wb, b2i, b2e if q == J - 1 else b2i)
+        for wi in range(nwin_c):
+            blkv = res[wi * n:(wi + 1) * n, :].reshape(ws, ws, c)
+            out_ref[0, 0, 0:ws,
+                    q * W + wi * ws:q * W + (wi + 1) * ws, :] = blkv
+
+            @pl.when(ib == 0)
+            def _seed_zwrap(blkv=blkv, q=q, wi=wi):
+                zwrap_ref[0:s,
+                          q * W + wi * ws:q * W + (wi + 1) * ws, :] = \
+                    blkv[s:ws, :, :]
+
+    @pl.when(ib == spb - 1)
+    def _patch_wrap():
+        out_ref[0, 0, s:ws, :, :] = zwrap_ref[:, :, :]
+
+
+def _g2_pack(wqkv, bqkv, wproj, c, num_heads, hd, qscale):
+    """Head-major 32-padded q/k/v columns + row-matched proj (the g2
+    layout): in-kernel per-head slices become aligned 32-lane blocks.
+    ``qscale`` (attention scale x log2(e)) is folded into wq/bq."""
+    hp2 = -(-hd // 32) * 32
+
+    def pad_cols(wmat, bvec, scl=1.0):
+        pw, pb = [], []
+        for hh in range(num_heads):
+            pw.append(wmat[:, hh * hd:(hh + 1) * hd] * scl)
+            pb.append(bvec[hh * hd:(hh + 1) * hd] * scl)
+            if hp2 > hd:
+                pw.append(jnp.zeros((c, hp2 - hd), wmat.dtype))
+                pb.append(jnp.zeros((hp2 - hd,), bvec.dtype))
+        return jnp.concatenate(pw, axis=1), jnp.concatenate(pb)
+
+    wq_a, bq_a = pad_cols(wqkv[:, :c], bqkv[:c], qscale)
+    wk_a, bk_a = pad_cols(wqkv[:, c:2 * c], bqkv[c:2 * c])
+    wv_a, bv_a = pad_cols(wqkv[:, 2 * c:], bqkv[2 * c:])
+    prj = []
+    for hh in range(num_heads):
+        prj.append(wproj[hh * hd:(hh + 1) * hd])
+        if hp2 > hd:
+            prj.append(jnp.zeros((hp2 - hd, c), wproj.dtype))
+    return hp2, (wq_a, bq_a), (wk_a, bk_a), (wv_a, bv_a), \
+        jnp.concatenate(prj, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_heads", "ws", "dc1", "r_unroll", "wchunk_override", "interpret"))
+def swin_pair_strip_pallas(x, blk_a, blk_b, mask_bank, *, num_heads,
+                           ws: int = 8, dc1: int = 0, r_unroll: int = 4,
+                           wchunk_override: int | None = None,
+                           interpret: bool = False):
+    """Fused PAIR of Swin blocks (unshifted block A, shifted block B) over
+    (B, H, W, C): one kernel invocation per pair, intermediate activations
+    VMEM-resident. Input may be pre-rolled (dc1 = +ws//2 un-rolls block
+    A's reads, matching the RSTB frame chain); output is in frame -ws//2.
+    blk_a/blk_b = (ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, rpb,
+    ln2w, ln2b, w1, b1, w2, b2); mask_bank is block B's canonical (2, 2,
+    n, n) cyclic-shift bank. bf16 fastmath semantics only (the serving
+    path); numerics are bit-identical to the sequential paired2r chain."""
+    b, h, w, c = x.shape
+    s = ws // 2
+    n = ws * ws
+    assert h % ws == 0 and w % ws == 0
+    assert dc1 in (0, s)
+    assert num_heads % 2 == 0
+    S = h // ws
+    spb = S + 1
+    if w <= 384:
+        wchunk = wchunk_override or w
+    else:
+        wchunk = wchunk_override or strip_chunk_width(w, ws)
+    assert wchunk and w % wchunk == 0 and (wchunk // ws) % 2 == 0, \
+        (w, wchunk)
+    J = w // wchunk
+    nwin_c = wchunk // ws
+    hd = c // num_heads
+    log2e = 1.4426950408889634
+    m = 2 * n
+    groups = 2 * S
+
+    packed = []
+    hp2 = None
+    for (lnw, lnb, wqkv, bqkv, wproj, bproj, rpb,
+         ln2w, ln2b, w1, b1, w2, b2), bank in (
+            (blk_a, None), (blk_b, mask_bank)):
+        hp2, (wq_a, bq_a), (wk_a, bk_a), (wv_a, bv_a), wp_a = _g2_pack(
+            wqkv, bqkv, wproj, c, num_heads, hd, hd ** -0.5 * log2e)
+        bias = _paired_bias(rpb, bank, num_heads, n) * log2e
+        packed.append((
+            [lnw.astype(jnp.float32), lnb.astype(jnp.float32),
+             wq_a.astype(x.dtype), wk_a.astype(x.dtype),
+             wv_a.astype(x.dtype),
+             bq_a.astype(jnp.float32), bk_a.astype(jnp.float32),
+             bv_a.astype(jnp.float32),
+             wp_a.astype(x.dtype), bproj.astype(jnp.float32),
+             ln2w.astype(jnp.float32), ln2b.astype(jnp.float32),
+             w1.astype(x.dtype), b1.astype(jnp.float32),
+             w2.astype(x.dtype), b2.astype(jnp.float32)],
+            bias))
+    cp2 = num_heads * hp2
+    hidden = blk_a[9].shape[1]
+    bias1 = packed[0][1][0, 0]                  # (m, heads*m), no mask
+    bias2 = packed[1][1]                        # (2, 2, m, heads*m)
+
+    xg = x.reshape(b * groups, 1, s, w, c)
+    d0 = -dc1 // s
+
+    def idx(off):
+        def f(i):
+            band, ib = i // spb, i % spb
+            sloc = jnp.minimum(ib, S - 1)
+            return (band * groups + (2 * sloc + d0 + off) % groups,
+                    0, 0, 0, 0)
+        return f
+
+    def repp(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda *_: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    wspecs = [repp((c,)), repp((c,)),
+              repp((c, cp2)), repp((c, cp2)), repp((c, cp2)),
+              repp((cp2,)), repp((cp2,)), repp((cp2,)),
+              repp((cp2, c)), repp((c,)),
+              repp((c,)), repp((c,)),
+              repp((c, hidden)), repp((hidden,)),
+              repp((hidden, c)), repp((c,))]
+
+    kernel = functools.partial(
+        _strip_kernel_pairfused, num_heads=num_heads, hp=hp2,
+        nwin_c=nwin_c, J=J, ws=ws, S=S, spb=spb, dc1=dc1,
+        r_unroll=r_unroll)
+
+    def out_idx(i):
+        band, ib = i // spb, i % spb
+        return (band * S + jnp.clip(ib - 1, 0, S - 1), 0, 0, 0, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * spb,),
+        in_specs=[
+            pl.BlockSpec((1, 1, s, w, c), idx(0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, w, c), idx(1),
+                         memory_space=pltpu.VMEM),
+        ] + wspecs + [repp((m, num_heads * m))] + wspecs + [
+            repp((2, 2, m, num_heads * m))],
+        out_specs=pl.BlockSpec((1, 1, ws, w, c), out_idx,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * S, 1, ws, w, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nwin_c * n, c), x.dtype),     # xw
+            pltpu.VMEM((nwin_c * n, cp2), x.dtype),   # q
+            pltpu.VMEM((nwin_c * n, cp2), x.dtype),   # k
+            pltpu.VMEM((nwin_c * n, cp2), x.dtype),   # v
+            pltpu.VMEM((nwin_c * n, cp2), x.dtype),   # attn
+            pltpu.VMEM((2 * ws, w, c), x.dtype),      # ybuf ring
+            pltpu.VMEM((s, w, c), x.dtype),           # zwrap
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            # carries through ybuf/zwrap REQUIRE sequential grid order
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(xg, xg, *packed[0][0], bias1, *packed[1][0], bias2)
+    return out.reshape(b, h, w, c)

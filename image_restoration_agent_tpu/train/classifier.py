@@ -376,7 +376,8 @@ def train_classifier_v3_dataset(xs, ys, steps: int = 2000, batch: int = 32,
                                 model=None, log_every: int = 0,
                                 ordinal_smooth: float = 0.0,
                                 snapshot_every: int = 0, snapshot_fn=None,
-                                coral: bool = False):
+                                coral: bool = False,
+                                device_data: bool = False):
     """v3 recipe over a pregenerated dataset (shuffled epochs).
 
     ``ordinal_smooth`` > 0 (v4) spreads that probability mass onto the two
@@ -391,7 +392,15 @@ def train_classifier_v3_dataset(xs, ys, steps: int = 2000, batch: int = 32,
 
     ``snapshot_fn(params, step)`` is called every ``snapshot_every`` steps
     so multi-hour runs survive being killed: the caller can persist the
-    latest params and resume/ship from the snapshot."""
+    latest params and resume/ship from the snapshot.
+
+    ``device_data`` keeps the WHOLE uint8 dataset resident in device HBM
+    and runs steps in jitted ``lax.scan`` chunks with on-device batch
+    sampling (uniform with replacement). Over the remote-device tunnel
+    this is the difference between ~1.4 s/step (9.6 MB batch transfer +
+    dispatch round-trip per step — the round-4 run died of it at step
+    500/9000) and pure-compute steps: one 3 GB transfer up front, then
+    only scalar losses come back per chunk."""
     from ..iqa.classifier import DegradationClassifierV3
 
     model = model or DegradationClassifierV3()
@@ -434,6 +443,47 @@ def train_classifier_v3_dataset(xs, ys, steps: int = 2000, batch: int = 32,
     # link) with one-step prefetch: jax dispatch is async, so the next
     # batch's transfer overlaps the current step's compute
     xs8 = np.clip(xs * 255.0, 0, 255).astype(np.uint8)
+
+    if device_data:
+        import functools
+
+        n = xs.shape[0]
+        dx = jax.device_put(xs8)
+        dy = jax.device_put(ys.astype(np.int32))
+
+        @functools.partial(jax.jit, static_argnums=(5,))
+        def run_chunk(params, opt_state, dx, dy, base, n_steps):
+            key = jax.random.PRNGKey(seed + 1)
+
+            def body(carry, i):
+                params, opt_state = carry
+                idx = jax.random.randint(
+                    jax.random.fold_in(key, base + i), (batch,), 0, n)
+                x = dx[idx].astype(jnp.float32) / 255.0
+                params, opt_state, loss = step(params, opt_state, x,
+                                               dy[idx])
+                return (params, opt_state), loss
+
+            (params, opt_state), chunk_losses = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(n_steps))
+            return params, opt_state, chunk_losses
+
+        chunk = log_every or min(500, steps)
+        losses = []
+        done = 0
+        while done < steps:
+            c = min(chunk, steps - done)
+            params, opt_state, cl = run_chunk(params, opt_state, dx, dy,
+                                              jnp.int32(done), c)
+            losses.extend(np.asarray(cl).tolist())
+            done += c
+            if log_every:
+                print(f"step {done}/{steps} loss "
+                      f"{np.mean(losses[-50:]):.4f}", flush=True)
+            if (snapshot_every and snapshot_fn
+                    and done % snapshot_every == 0 and done < steps):
+                snapshot_fn(params, done)
+        return params, losses
 
     rng = np.random.default_rng(seed)
     n = xs.shape[0]

@@ -85,9 +85,12 @@ VARIANTS = {
     "p2r_w384_pexp": lambda: chain("paired2r", ablate="pexp", wc=384),
     "p2r_w384_divnorm": lambda: chain("paired2r", ablate="divnorm",
                                       wc=384),
-    # beyond the [128,384] default bound: the remaining lane-aligned
-    # divisors of 1920 (fatter DMA per grid step; VMEM live-state grows
-    # linearly with chunk width, so these may spill)
+    # beyond the [128,384] default bound: two of the larger lane-aligned
+    # divisors of 1920 (480/960 also qualify but sit between measured
+    # points; fatter DMA per grid step; VMEM live-state grows linearly
+    # with chunk width, so these may spill). wc=1920 fails the d<w check
+    # in swin_strip_pallas, so that entry measures the unchunked
+    # single-column fallback rather than a 1920-wide chunk.
     "p2r_w640": lambda: chain("paired2r", wc=640),
     "p2r_w1920": lambda: chain("paired2r", wc=1920),
     # superstrips on the rolled body (H=552 -> 69 window rows: rrows=3)

@@ -103,7 +103,7 @@ def main():
     params, losses = train_classifier_v3_dataset(
         xs, ys, steps=args.steps, batch=args.batch, lr=args.lr,
         model=model, log_every=500, coral=True,
-        snapshot_every=1000, snapshot_fn=snapshot)
+        snapshot_every=1000, snapshot_fn=snapshot, device_data=True)
     print(f"final loss {np.mean(losses[-50:]):.4f} "
           f"({time.time() - t0:.0f}s)", flush=True)
 
@@ -118,8 +118,11 @@ def main():
     ood = ood_gradient_check(params, model, size=args.size)
     print(f"OOD gradient check (max levels): {ood}", flush=True)
 
-    save_as_orbax(params, out)
-    print(f"saved {out}", flush=True)
+    # NEVER the shipped path: promotion goes through eval_classifier_v5.py
+    # --promote, which enforces the accuracy/OOD gates (ADVICE r4).
+    save_as_orbax(params, out + "_final")
+    print(f"saved {out}_final (gate + promote via "
+          f"scripts/eval_classifier_v5.py)", flush=True)
 
 
 if __name__ == "__main__":
