@@ -198,16 +198,97 @@ def main() -> None:
         "nafnet_denoise": ("megapixels_per_sec_denoise_256", None),
         "restormer_720p": ("megapixels_per_sec_deblur_720p", None),
     }[args.config]
-    print(json.dumps({
+    record = {
         "metric": metric,
         "value": round(value, 4),
         "unit": "MP/s",
         "vs_baseline": round(value / base, 3) if base else None,
-    }), flush=True)
+    }
+    if (metric == "megapixels_per_sec_per_chip_4x_sr_tiled"
+            and args.dtype == "bf16"
+            and jax.default_backend() == "tpu"):
+        record["fastmath_psnr_db"] = fastmath_quality_gate()
+    print(json.dumps(record), flush=True)
     print(f"# {h}x{w} input, tile={args.tile} overlap={args.overlap} "
           f"batch={args.batch} dtype={args.dtype} best={dt:.3f}s "
           f"device={jax.devices()[0].platform}", file=sys.stderr,
           flush=True)
+
+
+def fastmath_quality_gate(floor_db: float = 45.0) -> float:
+    """On-chip quality gate for the bf16-fastmath serving path (VERDICT r4
+    #4): serve a probe image through the SAME band-mode bf16 Pallas path
+    the headline uses (paired2r rolled bodies: tanh-GELU, clamp-exp2
+    reciprocal softmax) AND through the f32 XLA exact path (erf GELU,
+    max-subtracted softmax — the semantics the CPU golden gates pin), and
+    require PSNR between the two >= ``floor_db``. The synthetic golden
+    gates can't see this (Pallas is TPU-only; goldens run on CPU), so this
+    is the one check that runs where the fastmath kernels run. Fails the
+    whole bench loudly on drift. Probe is 480x270 (not the full 2K) to
+    keep the extra cold-cache compile under ~1 min; the kernel programs
+    are chunk-width-sized, so the probe exercises the same Mosaic bodies.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from image_restoration_agent_tpu.core.tiling import tiled_apply
+    from image_restoration_agent_tpu.models import build_model
+    from image_restoration_agent_tpu.models.registry import get_spec
+    from image_restoration_agent_tpu.ops.pallas_attention import (
+        pad_width_for_strips)
+
+    h, w = 270, 480
+    spec = get_spec("swinir_sr_x4")
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.random((h, w, 3), dtype=np.float32))
+
+    model = build_model("swinir_sr_x4")
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 16, 16, 3)))
+    params_bf16 = jax.jit(lambda p: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, p))(params)
+
+    # (a) the served path: band-mode bf16 Pallas fastmath (same banding
+    # construction as the headline run above)
+    ph = -(-h // spec.pad_multiple) * spec.pad_multiple
+    pw = pad_width_for_strips(w)
+    ov = 16
+    n_bands = max(2, -(-(ph * pw) // 1_100_000))
+    bh = -(-(ph + (n_bands - 1) * ov) // n_bands // 8) * 8
+
+    def fwd_bf16(batch):
+        return model.apply(params_bf16,
+                           batch.astype(jnp.bfloat16)).astype(jnp.float32)
+
+    fast = jax.jit(lambda im: tiled_apply(
+        fwd_bf16, im, tile=(bh, pw), overlap=ov, scale=spec.scale,
+        batch=1, pad_multiple=spec.pad_multiple, pad_mode=spec.pad_mode,
+        pad_kind=spec.pad_kind, pad_to=(ph, pw)))(img)
+
+    # (b) the exact reference path: f32, XLA attention, whole-image
+    model_xla = build_model("swinir_sr_x4", attention_impl="xla")
+
+    def fwd_f32(batch):
+        return model_xla.apply(params, batch.astype(jnp.float32))
+
+    exact = jax.jit(lambda im: tiled_apply(
+        fwd_f32, im, tile=None, scale=spec.scale,
+        pad_multiple=spec.pad_multiple, pad_mode=spec.pad_mode,
+        pad_kind=spec.pad_kind))(img)
+
+    diff = np.asarray(fast, np.float64) - np.asarray(exact, np.float64)
+    mse = float(np.mean(diff * diff))
+    psnr = float(10.0 * np.log10(1.0 / max(mse, 1e-12)))
+    if psnr < floor_db:
+        print(json.dumps({
+            "metric": "fastmath_quality_gate_FAILED",
+            "value": round(psnr, 2), "unit": "dB",
+            "vs_baseline": None}), flush=True)
+        raise SystemExit(
+            f"bf16-fastmath serving path drifted: PSNR {psnr:.2f} dB vs "
+            f"f32 exact (floor {floor_db}); see bench.fastmath_quality_gate")
+    return round(psnr, 2)
 
 
 def bench_nafnet_chained(args, k: int = 20):

@@ -525,6 +525,47 @@ def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
                 b0 = bias_ref[0, rr, 0, :, 2 * gr * m:(2 * gr + 2) * m]
                 b1 = bias_ref[0, rr, 1, :, 2 * gr * m:(2 * gr + 2) * m]
                 lg = lg + jnp.where(col_last, b1, b0)
+                if "packexp" in ablate:
+                    # round-5 probe: live-lane packed softmax. The pair's
+                    # (m, 2m) logits are HALF dead (-1e9 cross-window
+                    # quadrants from the block-diagonal 2-window packing
+                    # that sizes the MXU dots); pack the four live (n, n)
+                    # diagonal blocks into one dense (m, m) tile so exp2
+                    # and normalization touch live lanes only — 2x fewer
+                    # VPU transcendentals for lane-rotate assembly cost.
+                    # Bit-identical: dead lanes contribute exp2(-1e9) = 0.0
+                    # to the sums either way.
+                    nh = m // 2
+                    lg0, lg1 = lg[:, :m], lg[:, m:]
+                    u = jnp.concatenate([
+                        jnp.concatenate([lg0[:nh, :nh], lg0[nh:, nh:]],
+                                        axis=1),
+                        jnp.concatenate([lg1[:nh, :nh], lg1[nh:, nh:]],
+                                        axis=1)], axis=0)
+                    eu = jnp.exp2(jnp.minimum(u, 86.56))
+                    pu = jnp.concatenate(
+                        [eu[:, :nh] * (1.0 / jnp.sum(eu[:, :nh], axis=1,
+                                                     keepdims=True)),
+                         eu[:, nh:] * (1.0 / jnp.sum(eu[:, nh:], axis=1,
+                                                     keepdims=True))],
+                        axis=1).astype(vm2.dtype)
+                    znn = jnp.zeros((nh, nh), vm2.dtype)
+                    pa, pb = pu[:nh], pu[nh:]
+                    p01 = jnp.concatenate([
+                        jnp.concatenate(
+                            [jnp.concatenate([pa[:, :nh], znn], 1),
+                             jnp.concatenate([znn, pa[:, nh:]], 1)], 0),
+                        jnp.concatenate(
+                            [jnp.concatenate([pb[:, :nh], znn], 1),
+                             jnp.concatenate([znn, pb[:, nh:]], 1)], 0)],
+                        axis=1)
+                    ov = jax.lax.dot_general(
+                        p01, vm2, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    attn_ref[pl.ds(g * m, m),
+                             2 * gr * hp:(2 * gr + 2) * hp] = \
+                        ov.astype(attn_ref.dtype)
+                    continue
                 if "pexp" in ablate:
                     # perf probe: polynomial exp2 — round/cubic-poly the
                     # fraction, build 2^int via the f32 exponent field
@@ -537,6 +578,13 @@ def _strip_kernel_paired(*args, num_heads, head_dim, nwin, ws, dc, chunk,
                     ex = jax.lax.bitcast_convert_type(
                         (xi.astype(jnp.int32) + 127) << 23, jnp.float32)
                     e = p2f * ex
+                elif "bf16exp" in ablate:
+                    # perf probe: half-precision transcendental — measures
+                    # whether the VPU rates bf16 exp2 above f32 (softmax
+                    # weights only need ~8 relative bits before a bf16 AV
+                    # dot anyway; sums stay f32)
+                    e = jnp.exp2(jnp.minimum(lg, 86.56)
+                                 .astype(jnp.bfloat16)).astype(jnp.float32)
                 else:
                     e = jnp.exp2(jnp.minimum(lg, 86.56))
                 if "divnorm" in ablate:

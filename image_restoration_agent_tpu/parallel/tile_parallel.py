@@ -2,10 +2,18 @@
 
 This is the domain's sequence parallelism (SURVEY.md §2.6, §5.7): a large
 image decomposes into an overlap-tile batch; tiles spread across the ``tile``
-mesh axis; every chip runs the model on its shard, scatters its outputs onto
-a private canvas, and one ``psum`` over ICI merges the overlap-blend
-accumulators. The divide-by-weight uses the same compile-time constant canvas
-as the single-chip path, so sharded and unsharded results are bit-identical.
+mesh axis; every chip runs the model forward on its shard inside
+``shard_map``; the output tile batch is then re-assembled (XLA inserts the
+all-gather over ICI) and blended by the SAME :func:`core.tiling.blend_tiles`
+scan the single-chip path uses, in the same sequential tile order. Sharing
+the blend (instead of psum-merging per-chip partial canvases, the previous
+scheme) keeps the overlap-blend additions in single-chip association order,
+so sharded and unsharded results are bit-identical even where >2 tiles
+overlap — a psum tree groups those sums by device and diverges in the last
+ulp, which matters for global-operator models (Restormer's MDTA) whose
+parity gate is exact equality (exercised by
+``__graft_entry__.dryrun_multichip``). Communication volume is the output
+tile batch (~canvas x overlap factor), on par with one canvas psum.
 """
 
 from __future__ import annotations
@@ -19,7 +27,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..core.pad import pad_to_multiple
-from ..core.tiling import _weight_canvas, extract_tiles, plan_tiles
+from ..core.tiling import blend_tiles, extract_tiles, plan_tiles
 
 
 def tiled_apply_sharded(
@@ -46,40 +54,15 @@ def tiled_apply_sharded(
     n_pad = (-n) % d
 
     tiles = extract_tiles(padded, plan)
-    offsets = plan.offsets * scale
-    valid = np.ones((n,), np.float32)
-    if n_pad:
+    if n_pad:  # round the batch up to the device count (dropped after)
         tiles = jnp.concatenate([tiles, tiles[:n_pad]], axis=0)
-        offsets = np.concatenate([offsets, offsets[:n_pad]], axis=0)
-        valid = np.concatenate([valid, np.zeros((n_pad,), np.float32)])
 
-    ts = plan.tile * scale
-    c_in = tiles.shape[-1]
-
-    def shard_fn(tiles_shard, offsets_shard, valid_shard):
-        outs = fn(tiles_shard)  # (n_local, ts, ts, C')
-        outs = outs * valid_shard[:, None, None, None]
-        c = outs.shape[-1]
-        canvas = jnp.zeros((h * scale, w * scale, c), outs.dtype)
-        # mark the carry as device-varying so the scan carry types match
-        canvas = jax.lax.pcast(canvas, (axis,), to="varying")
-
-        def body(e, inp):
-            patch, off = inp
-            cur = jax.lax.dynamic_slice(e, (off[0], off[1], 0), (ts, ts, c))
-            e = jax.lax.dynamic_update_slice(e, cur + patch, (off[0], off[1], 0))
-            return e, None
-
-        canvas, _ = jax.lax.scan(body, canvas, (outs, offsets_shard))
-        return jax.lax.psum(canvas, axis)  # merge partial blends over ICI
-
-    out = shard_map(
-        shard_fn,
+    outs = shard_map(
+        fn,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis)),
-        out_specs=P(),
-    )(tiles, jnp.asarray(offsets), jnp.asarray(valid))
+        in_specs=(P(axis),),
+        out_specs=P(axis),
+    )(tiles)
 
-    weight = jnp.asarray(_weight_canvas(plan, scale))
-    out = out / weight
+    out = blend_tiles(outs[:n], plan, scale)
     return out[: h0 * scale, : w0 * scale, :]

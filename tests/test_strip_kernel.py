@@ -344,6 +344,25 @@ class TestPaired2RolledMode:
                                   interpret=True)
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_packexp_softmax_bit_identical(self, rng):
+        """Live-lane packed softmax (ablate="packexp": exp2/normalize run
+        on the four live (n, n) diagonal blocks packed dense instead of
+        the half-dead (m, 2m) logits) is BIT-identical — dead lanes
+        contribute exp2(-1e9) = 0.0 to the sums either way."""
+        x, ps = _strip_args(rng, 4 * WS, 4 * WS)
+        mlp = TestFusedMlp._mlp_params(TestFusedMlp(), rng)
+        for dc, bank in ((0, None), (-S, _bank())):
+            a = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                  mask_bank=bank, dc=dc, mlp=mlp,
+                                  attn_mode="paired2r", fastmath=True,
+                                  interpret=True)
+            b = swin_strip_pallas(x, *ps, None, num_heads=HEADS, ws=WS,
+                                  mask_bank=bank, dc=dc, mlp=mlp,
+                                  attn_mode="paired2r", fastmath=True,
+                                  ablate="packexp", interpret=True)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"dc={dc}")
+
     def test_paired2r_unroll_variants(self, rng):
         """fori-rolled (ur=1), partial (ur=2), and full unroll (ur=0) are
         the same program over different loop structures."""
@@ -445,6 +464,38 @@ class TestChunkedGrid:
                     np.testing.assert_allclose(
                         np.asarray(got), np.asarray(want), atol=2e-5,
                         err_msg=f"dc={dc} wc={wc} rrows={rp}")
+
+    def test_pair_fused_matches_sequential_chain(self, rng):
+        """swin_pair_strip_pallas (two full blocks per invocation,
+        intermediates VMEM-resident) is bit-identical to the sequential
+        paired2r fastmath chain at both RSTB entry frames (dc1=0 for the
+        first pair, dc1=+S for subsequent pairs whose input sits in frame
+        -S), unchunked and column-chunked."""
+        from image_restoration_agent_tpu.ops.pallas_attention import (
+            swin_pair_strip_pallas)
+
+        x, ps_a = _strip_args(rng, 4 * WS, 4 * WS)
+        _, ps_b = _strip_args(rng, 4 * WS, 4 * WS)
+        mk = TestFusedMlp()
+        mlp_a, mlp_b = mk._mlp_params(rng), mk._mlp_params(rng)
+        bank = _bank()
+        blk_a = (*ps_a, *mlp_a)
+        blk_b = (*ps_b, *mlp_b)
+        for dc1 in (0, S):
+            ya = swin_strip_pallas(
+                x, *ps_a, None, num_heads=HEADS, ws=WS, dc=dc1, mlp=mlp_a,
+                attn_mode="paired2r", fastmath=True, interpret=True)
+            want = swin_strip_pallas(
+                ya, *ps_b, None, num_heads=HEADS, ws=WS, mask_bank=bank,
+                dc=-S, mlp=mlp_b, attn_mode="paired2r", fastmath=True,
+                interpret=True)
+            for wc in (None, 2 * WS):
+                got = swin_pair_strip_pallas(
+                    x, blk_a, blk_b, bank, num_heads=HEADS, ws=WS,
+                    dc1=dc1, wchunk_override=wc, interpret=True)
+                np.testing.assert_array_equal(
+                    np.asarray(got), np.asarray(want),
+                    err_msg=f"dc1={dc1} wc={wc}")
 
     def test_chunk_width_helpers(self):
         from image_restoration_agent_tpu.ops.pallas_attention import (
