@@ -119,9 +119,20 @@ class SeverityEvaluator:
         from pathlib import Path
 
         weights = Path(__file__).resolve().parents[1] / "weights"
+
+        def mk_v5():
+            # promotion writes a sibling "<dir>.arch" marker: the v5 slot
+            # can hold either the CORAL head or the softmax (V3-arch)
+            # head, whichever won the promotion gates
+            # (scripts/eval_classifier_v5.py)
+            marker = weights / "degradation_classifier_v5.arch"
+            arch = marker.read_text().strip() if marker.exists() \
+                else "coral"
+            return (DegradationClassifierV5() if arch == "coral"
+                    else DegradationClassifierV3())
+
         inst = None
-        for vname, mk in (("degradation_classifier_v5",
-                           lambda: DegradationClassifierV5()),
+        for vname, mk in (("degradation_classifier_v5", mk_v5),
                           ("degradation_classifier_v4",
                            lambda: DegradationClassifierV3()),
                           ("degradation_classifier_v3",

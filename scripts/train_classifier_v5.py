@@ -18,6 +18,7 @@ import argparse
 import os
 import sys
 import time
+from pathlib import Path
 
 sys.path.insert(0, "/root/repo")
 
@@ -62,6 +63,12 @@ def main():
     p.add_argument("--p-multi", type=float, default=0.75)
     p.add_argument("--p-flat", type=float, default=0.2)
     p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--arch", choices=["coral", "softmax"], default="coral",
+                   help="coral = ordinal-regression head "
+                        "(DegradationClassifierV5); softmax = the v4 "
+                        "recipe (V3 arch + ordinal label smoothing) on "
+                        "the texture-free corpus — measured stronger on "
+                        "per-op exact severity (see NEXT_STEPS round-5)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -70,7 +77,7 @@ def main():
     from image_restoration_agent_tpu.convert.torch_import import \
         save_as_orbax
     from image_restoration_agent_tpu.iqa.classifier import (
-        DegradationClassifierV5)
+        DegradationClassifierV3, DegradationClassifierV5)
     from image_restoration_agent_tpu.train.classifier import (
         build_dataset, evaluate_classifier, evaluate_multi,
         procedural_corpus, train_classifier_v3_dataset)
@@ -81,7 +88,8 @@ def main():
     print(f"corpus {len(corpus)} images ({args.p_flat:.0%} texture-free) "
           f"in {time.time() - t0:.1f}s", flush=True)
 
-    model = DegradationClassifierV5()
+    coral = args.arch == "coral"
+    model = DegradationClassifierV5() if coral else DegradationClassifierV3()
     cache = (f"/tmp/clf_ds_v5_{args.n_examples}_{args.size}_"
              f"{args.p_multi}_{args.p_flat}_{args.corpus}.npz")
     if os.path.exists(cache):
@@ -96,13 +104,18 @@ def main():
     out = args.out or ("image_restoration_agent_tpu/weights/"
                        "degradation_classifier_v5")
 
+    def write_arch_marker(path):
+        Path(path + ".arch").write_text(args.arch + "\n")
+
     def snapshot(p_, step_i):
         save_as_orbax(p_, out + "_snap")
+        write_arch_marker(out + "_snap")
         print(f"snapshot at step {step_i} -> {out}_snap", flush=True)
 
     params, losses = train_classifier_v3_dataset(
         xs, ys, steps=args.steps, batch=args.batch, lr=args.lr,
-        model=model, log_every=500, coral=True,
+        model=model, log_every=500, coral=coral,
+        ordinal_smooth=0.0 if coral else 0.1,
         snapshot_every=1000, snapshot_fn=snapshot, device_data=True)
     print(f"final loss {np.mean(losses[-50:]):.4f} "
           f"({time.time() - t0:.0f}s)", flush=True)
@@ -121,6 +134,7 @@ def main():
     # NEVER the shipped path: promotion goes through eval_classifier_v5.py
     # --promote, which enforces the accuracy/OOD gates (ADVICE r4).
     save_as_orbax(params, out + "_final")
+    write_arch_marker(out + "_final")
     print(f"saved {out}_final (gate + promote via "
           f"scripts/eval_classifier_v5.py)", flush=True)
 

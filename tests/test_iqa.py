@@ -152,9 +152,12 @@ class TestEvaluatorSingleton:
             lvl(ev.severity_of(clean, "noise"))
 
     def test_shipped_v5_checkpoint_loads_and_discriminates(self):
-        """When the v5 (CORAL ordinal head) checkpoint ships, default()
-        must pick it over v4 and it must still rank a heavy degradation
-        above clean — guards the v5 checkpoint <-> arch pairing."""
+        """When the v5 checkpoint ships, default() must pick it over v4,
+        build the arch its sibling .arch marker declares (the promotion
+        gate can ship either the CORAL head or the softmax/V3-arch head,
+        scripts/eval_classifier_v5.py), and still rank a heavy
+        degradation above clean — guards the checkpoint <-> arch
+        pairing."""
         from pathlib import Path
 
         import image_restoration_agent_tpu.iqa.classifier as clf_mod
@@ -166,12 +169,18 @@ class TestEvaluatorSingleton:
 
         from image_restoration_agent_tpu.data import degrade as D
         from image_restoration_agent_tpu.iqa.classifier import (
-            SEVERITY_LEVELS, DegradationClassifierV5, SeverityEvaluator)
+            SEVERITY_LEVELS, DegradationClassifierV3,
+            DegradationClassifierV5, SeverityEvaluator)
         from image_restoration_agent_tpu.train.classifier import (
             procedural_corpus)
 
+        marker = v5.parent / (v5.name + ".arch")
+        arch = marker.read_text().strip() if marker.exists() else "coral"
         ev = SeverityEvaluator.default()
-        assert isinstance(ev.model, DegradationClassifierV5)
+        assert isinstance(
+            ev.model,
+            DegradationClassifierV5 if arch == "coral"
+            else DegradationClassifierV3)
         assert ev.input_size == 224
         clean = procedural_corpus(2, size=288, seed=777)[1]
         noisy = D.add_noise(clean, noise_type="Gaussian", arg=50,
