@@ -5,15 +5,21 @@ image decomposes into an overlap-tile batch; tiles spread across the ``tile``
 mesh axis; every chip runs the model forward on its shard inside
 ``shard_map``; the output tile batch is then re-assembled (XLA inserts the
 all-gather over ICI) and blended by the SAME :func:`core.tiling.blend_tiles`
-scan the single-chip path uses, in the same sequential tile order. Sharing
-the blend (instead of psum-merging per-chip partial canvases, the previous
-scheme) keeps the overlap-blend additions in single-chip association order,
-so sharded and unsharded results are bit-identical even where >2 tiles
-overlap — a psum tree groups those sums by device and diverges in the last
-ulp, which matters for global-operator models (Restormer's MDTA) whose
-parity gate is exact equality (exercised by
-``__graft_entry__.dryrun_multichip``). Communication volume is the output
-tile batch (~canvas x overlap factor), on par with one canvas psum.
+scan the single-chip path uses, in the same sequential tile order.
+
+Parity contract (exercised by ``__graft_entry__.dryrun_multichip`` and
+``tests/test_parallel.py``): the overlap BLEND is bit-identical to
+single-chip by construction — the previous scheme psum-merged per-chip
+partial canvases, and the psum tree groups overlap sums by device, diverging
+in the last ulp where >2 tiles overlap; the elementwise-fn parity test pins
+the blend exactly. The model FORWARD, however, is not bitwise
+batch-grouping-invariant: the sharded batch shape differs from the
+single-chip ``batch`` chunking, and XLA reassociates per-example
+reductions/conv inner loops per shape — measured <=1e-6 relative for NAFNet
+and ~3e-6 for Restormer's MDTA on the CPU mesh — so the model-family gates
+assert a few-ulp bound; real sharding bugs sit orders of magnitude above
+it. Communication volume is the output tile batch (~canvas x overlap
+factor), on par with one canvas psum.
 """
 
 from __future__ import annotations

@@ -448,7 +448,20 @@ def train_classifier_v3_dataset(xs, ys, steps: int = 2000, batch: int = 32,
         import functools
 
         n = xs.shape[0]
-        dx = jax.device_put(xs8)
+        # stream the dataset up in ~64 MB slices with progress: a single
+        # multi-GB device_put over the remote-device tunnel wedged twice
+        # (no data flowing, process unkillable-by-timeout); small slices
+        # localize a stall and keep the tunnel's flow control happy
+        row_bytes = int(np.prod(xs8.shape[1:])) * xs8.itemsize
+        rows = max(1, int(64e6) // row_bytes)
+        parts = []
+        for i in range(0, n, rows):
+            parts.append(jax.device_put(xs8[i:i + rows]))
+            if (i // rows) % 16 == 0:
+                jax.block_until_ready(parts[-1])
+                print(f"  upload {min(i + rows, n)}/{n} rows", flush=True)
+        dx = jnp.concatenate(parts, axis=0)
+        del parts
         dy = jax.device_put(ys.astype(np.int32))
 
         @functools.partial(jax.jit, static_argnums=(5,))
