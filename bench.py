@@ -215,7 +215,7 @@ def main() -> None:
           flush=True)
 
 
-def fastmath_quality_gate(floor_db: float = 45.0) -> float:
+def fastmath_quality_gate(floor_db: float = 37.0) -> float:
     """On-chip quality gate for the bf16-fastmath serving path (VERDICT r4
     #4): serve a probe image through the SAME band-mode bf16 Pallas path
     the headline uses (paired2r rolled bodies: tanh-GELU, clamp-exp2
@@ -227,6 +227,13 @@ def fastmath_quality_gate(floor_db: float = 45.0) -> float:
     whole bench loudly on drift. Probe is 480x270 (not the full 2K) to
     keep the extra cold-cache compile under ~1 min; the kernel programs
     are chunk-width-sized, so the probe exercises the same Mosaic bodies.
+
+    Floor calibration: PURE bf16 rounding (bf16-XLA vs f32-XLA, no
+    Pallas, same probe/weights) measures 42.16 dB range-normalized on
+    CPU — the fastmath claim is "error below bf16 rounding", so a
+    healthy TPU path sits at ~42 dB and the 37 dB floor leaves ~5 dB of
+    backend noise margin while real drift (a wrong mask, a broken
+    softmax) costs tens of dB.
     """
     import jax
     import jax.numpy as jnp
@@ -277,9 +284,16 @@ def fastmath_quality_gate(floor_db: float = 45.0) -> float:
         pad_multiple=spec.pad_multiple, pad_mode=spec.pad_mode,
         pad_kind=spec.pad_kind))(img)
 
-    diff = np.asarray(fast, np.float64) - np.asarray(exact, np.float64)
-    mse = float(np.mean(diff * diff))
-    psnr = float(10.0 * np.log10(1.0 / max(mse, 1e-12)))
+    fa = np.asarray(fast, np.float64)
+    ex = np.asarray(exact, np.float64)
+    # range-normalized PSNR: bench weights are random-init (no released
+    # checkpoints in this environment), so outputs are not [0,1] images —
+    # normalize by the exact path's dynamic range to make the floor
+    # weight-independent (bf16 relative error scales with magnitude)
+    rng_span = float(ex.max() - ex.min()) or 1.0
+    mse = float(np.mean((fa - ex) ** 2))
+    psnr = float(20.0 * np.log10(rng_span)
+                 - 10.0 * np.log10(max(mse, 1e-12)))
     if psnr < floor_db:
         print(json.dumps({
             "metric": "fastmath_quality_gate_FAILED",

@@ -91,7 +91,9 @@ VARIANTS = {
     # with chunk width, so these may spill). wc=1920 fails the d<w check
     # in swin_strip_pallas, so that entry measures the unchunked
     # single-column fallback rather than a 1920-wide chunk.
+    "p2r_w480": lambda: chain("paired2r", wc=480),
     "p2r_w640": lambda: chain("paired2r", wc=640),
+    "p2r_w960": lambda: chain("paired2r", wc=960),
     "p2r_w1920": lambda: chain("paired2r", wc=1920),
     # superstrips on the rolled body (H=552 -> 69 window rows: rrows=3)
     "p2r_r3": lambda: chain("paired2r", rp=3),
